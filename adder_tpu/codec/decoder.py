@@ -1,0 +1,123 @@
+"""Decoder container: magic sniffing, header parse, event digestion, seek.
+
+ref: adder-codec-core/src/codec/decoder.rs, lib.rs:461-495 (open_file_decoder).
+
+TPU-native redesign: the primary read path is `digest_all` / `digest_batch`,
+which slurp the remaining stream and decode it with one vectorized numpy
+pass (cut at the in-band EOF event). The scalar `digest_event` matches the
+reference's one-at-a-time API for tooling/tests.
+"""
+
+from __future__ import annotations
+
+import io
+from typing import BinaryIO, Optional
+
+from ..core.types import (
+    Event,
+    EventArray,
+    SOURCE_CAMERA_TO_TYPE,
+    SourceType,
+)
+from . import raw as rawcodec
+from .encoder import EncoderType
+from .header import (
+    MAGIC_COMPRESSED,
+    MAGIC_RAW,
+    CodecMetadata,
+    CodecError,
+    Eof,
+    SeekError,
+    decode_header,
+)
+
+
+class Decoder:
+    """ADDER stream decoder over a seekable binary reader."""
+
+    def __init__(self, reader: BinaryIO):
+        self.reader = reader
+        self.meta, self.magic = decode_header(reader)
+        self._compressed_input = None
+        if self.magic == MAGIC_COMPRESSED:
+            from .compressed import CompressedInput  # deferred: heavier dep
+
+            self._compressed_input = CompressedInput(self.meta, reader)
+
+    # -- introspection --
+
+    def get_source_type(self) -> SourceType:
+        """ref: decoder.rs:84-99"""
+        return SOURCE_CAMERA_TO_TYPE[self.meta.source_camera]
+
+    def get_compression_type(self) -> EncoderType:
+        return (
+            EncoderType.Compressed
+            if self.magic == MAGIC_COMPRESSED
+            else EncoderType.Raw
+        )
+
+    # -- scalar API (parity with reference digest_event, decoder.rs:207) --
+
+    def digest_event(self) -> Event:
+        if self._compressed_input is not None:
+            return self._compressed_input.digest_event()
+        buf = self.reader.read(self.meta.event_size)
+        if len(buf) < self.meta.event_size:
+            raise Eof()
+        ev = rawcodec.decode_events(buf, self.meta.plane.channels)
+        if rawcodec.find_eof(ev) == 0:
+            raise Eof()
+        return ev[0]
+
+    # -- bulk API (the TPU-native fast path) --
+
+    def digest_all(self) -> EventArray:
+        """Decode every remaining event up to the EOF marker in one pass."""
+        if self._compressed_input is not None:
+            return self._compressed_input.digest_all()
+        buf = self.reader.read()
+        events = rawcodec.decode_events(buf, self.meta.plane.channels)
+        n = rawcodec.find_eof(events)
+        return events[:n]
+
+    def digest_batch(self, max_events: int) -> EventArray:
+        """Decode up to `max_events` events; empty batch means EOF reached."""
+        if self._compressed_input is not None:
+            return self._compressed_input.digest_batch(max_events)
+        buf = self.reader.read(max_events * self.meta.event_size)
+        events = rawcodec.decode_events(buf, self.meta.plane.channels)
+        n = rawcodec.find_eof(events)
+        if n < len(events):
+            # rewind so a subsequent read sees EOF again
+            over = len(events) - n
+            self.reader.seek(-over * self.meta.event_size, io.SEEK_CUR)
+        return events[:n]
+
+    # -- seeking (ref: decoder.rs:225-258, raw/stream.rs:211-227) --
+
+    def set_input_stream_position(self, pos: int) -> None:
+        if (pos - self.meta.header_size) % self.meta.event_size != 0:
+            raise SeekError(f"bad position {pos}")
+        self.reader.seek(pos)
+
+    def get_input_stream_position(self) -> int:
+        return self.reader.tell()
+
+    def get_eof_position(self) -> int:
+        """Byte offset of the EOF marker event (scan from current pos)."""
+        pos = self.reader.tell()
+        self.reader.seek(self.meta.header_size)
+        buf = self.reader.read()
+        events = rawcodec.decode_events(buf, self.meta.plane.channels)
+        n = rawcodec.find_eof(events)
+        self.reader.seek(pos)
+        return self.meta.header_size + n * self.meta.event_size
+
+
+def open_file_decoder(path: str) -> Decoder:
+    """Open a `.adder` file, sniffing raw vs compressed by magic.
+
+    ref: adder-codec-core/src/lib.rs:461-495
+    """
+    return Decoder(open(path, "rb"))
