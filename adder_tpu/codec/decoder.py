@@ -85,13 +85,14 @@ class Decoder:
         """Decode up to `max_events` events; empty batch means EOF reached."""
         if self._compressed_input is not None:
             return self._compressed_input.digest_batch(max_events)
+        pos = self.reader.tell()
         buf = self.reader.read(max_events * self.meta.event_size)
         events = rawcodec.decode_events(buf, self.meta.plane.channels)
         n = rawcodec.find_eof(events)
-        if n < len(events):
-            # rewind so a subsequent read sees EOF again
-            over = len(events) - n
-            self.reader.seek(-over * self.meta.event_size, io.SEEK_CUR)
+        if n < len(events) or len(buf) % self.meta.event_size:
+            # reposition to just after the last consumed whole event so a
+            # subsequent read sees the EOF marker (or clean alignment) again
+            self.reader.seek(pos + n * self.meta.event_size)
         return events[:n]
 
     # -- seeking (ref: decoder.rs:225-258, raw/stream.rs:211-227) --

@@ -1,0 +1,86 @@
+"""Framer golden tests against committed reference fixtures.
+
+Mirrors the reference's test_sample_ordered / test_sample_unordered
+(ref: adder-codec-rs/tests/integration_tests.rs:818-962): decode the v0
+`.adder` fixtures, reconstruct at 60 fps, compare byte-for-byte with the
+committed golden `sample_3.gray` (405 frames).
+"""
+
+import io
+
+import numpy as np
+import pytest
+
+from adder_tpu.codec.decoder import open_file_decoder
+from adder_tpu.core.types import Event, EventArray, PlaneSize, SourceCamera, SourceType, TimeMode
+from adder_tpu.framer.driver import FramerBuilder, FrameSequence
+from adder_tpu.framer.scale_intensity import FramedViewMode
+
+
+def reconstruct(path, fps, batched=True):
+    dec = open_file_decoder(str(path))
+    m = dec.meta
+    assert m.tps // m.ref_interval == int(fps)
+    fs = (
+        FramerBuilder(m.plane)
+        .time_parameters(m.tps, m.ref_interval, m.delta_t_max, fps)
+        .codec_meta(m.codec_version, m.time_mode)
+        .source_info(dec.get_source_type(), m.source_camera)
+        .finish()
+    )
+    out = io.BytesIO()
+    count = 0
+    if batched:
+        events = dec.digest_all()
+        fs.ingest_event_array(events)
+        count += fs.write_multi_frame_bytes(out)
+    else:
+        while True:
+            batch = dec.digest_batch(1024)
+            if len(batch) == 0:
+                break
+            if fs.ingest_event_array(batch):
+                count += fs.write_multi_frame_bytes(out)
+    return out.getvalue(), count
+
+
+@pytest.mark.parametrize("name", ["sample_3_ordered.adder", "sample_3_unordered.adder"])
+@pytest.mark.parametrize("batched", [True, False], ids=["one-batch", "streamed"])
+def test_sample_3_golden(samples_dir, name, batched):
+    got, count = reconstruct(samples_dir / name, 60.0, batched)
+    golden = (samples_dir / "sample_3.gray").read_bytes()
+    assert count == 405
+    assert got == golden
+
+
+def test_framer_doctest_equivalent():
+    """ref: driver.rs:409-436 doctest — one event at t=1000 with tpf=1000
+    yields frame value 2^5 * tpf / t = 32."""
+    fs = (
+        FramerBuilder(PlaneSize(10, 10, 3))
+        .time_parameters(50000, 1000, 1000, 50.0)
+        .codec_meta(1, TimeMode.DeltaT)
+        .source_info(SourceType.U8, SourceCamera.FramedU8)
+        .finish()
+    )
+    fs.ingest_event(Event(5, 5, 1, 5, 1000))
+    f = fs.frames[fs.frames_written]
+    pix = (5 * 10 + 5) * 3 + 1
+    assert f.filled[pix]
+    assert f.values[pix] == 32
+
+
+def test_framer_buffer_limit():
+    """buffer_limit forcibly completes frame 0 (ref: driver.rs:1116-1122)."""
+    b = FramerBuilder(PlaneSize(4, 4, 1))
+    b.buffer_limit = 2
+    fs = (
+        b.time_parameters(2400, 100, 1000, 24.0)
+        .codec_meta(2, TimeMode.AbsoluteT)
+        .source_info(SourceType.U8, SourceCamera.FramedU8)
+        .finish()
+    )
+    # single pixel far ahead in time; others never fire
+    assert not fs.is_frame_0_filled()
+    fs.ingest_event(Event(0, 0, None, 5, 2000))
+    assert fs.is_frame_0_filled()

@@ -1,0 +1,121 @@
+"""Differential tests: dense JAX kernel vs scalar oracle, bit-exact.
+
+Random intensity walks over many pixels and intervals, across all mode
+combinations, must produce byte-identical event streams to the oracle
+(which is itself pinned to the reference's unit tests).
+"""
+
+import numpy as np
+import pytest
+
+import jax
+
+from adder_tpu.core.types import Coord, Mode, PixelMultiMode, TimeMode
+from adder_tpu.ops import integrate as K
+from adder_tpu.transcoder import pixel_oracle as O
+
+
+def run_oracle(frames, params: K.TranscodeParams, c_thresh0, init_frame=None):
+    """frames: (T, N) uint8. Returns per-(interval, pixel) event list."""
+    T, N = frames.shape
+    pixels = []
+    for i in range(N):
+        px = O.PixelArena(1.0, Coord(i % 65535, i // 65535, None))
+        px.set_time_mode(TimeMode(params.time_mode))
+        px.c_thresh = c_thresh0
+        if init_frame is not None:
+            fv = int(init_frame[i])
+            px.arena[0].d = (
+                O.get_d_from_intensity(float(fv)) if fv > 0 else 128
+            )
+            px.base_val = fv
+        pixels.append(px)
+    out = []
+    for t in range(T):
+        for i in range(N):
+            buf = []
+            O.integrate_for_px(
+                pixels[i],
+                int(frames[t, i]),
+                float(frames[t, i]),
+                float(params.ref_time),
+                buf,
+                Mode(params.mode),
+                PixelMultiMode(params.multi_mode),
+                params.delta_t_max,
+                params.ref_time,
+                params.c_thresh_max,
+                params.c_increase_velocity,
+            )
+            for e in buf:
+                out.append((t, i, e.d, e.t))
+    return out
+
+
+def run_kernel(frames, params: K.TranscodeParams, c_thresh0, init_frame=None):
+    T, N = frames.shape
+    state = K.init_state(N, c_thresh=c_thresh0)
+    if init_frame is not None:
+        state = K.set_initial_d(state, jax.numpy.asarray(init_frame))
+    fn = K.make_transcode_chunk(params, event_cap=T * N * K.K_SLOTS)
+    intens = jax.numpy.asarray(frames, jax.numpy.float32)
+    fvals = jax.numpy.asarray(frames, jax.numpy.int32)
+    state, pix, d, t, total, per_int = fn(
+        state, intens, fvals, jax.numpy.float32(params.ref_time)
+    )
+    total = int(total)
+    assert int(state.overflow) == 0
+    pix, d, t = np.asarray(pix)[:total], np.asarray(d)[:total], np.asarray(t)[:total]
+    per_int = np.asarray(per_int)
+    out = []
+    k = 0
+    for ti in range(T):
+        for _ in range(per_int[ti]):
+            out.append((ti, int(pix[k]), int(d[k]) & 0xFF, int(t[k])))
+            k += 1
+    return out
+
+
+CASES = [
+    dict(mode=Mode.FramePerfect, multi=PixelMultiMode.Normal, tm=TimeMode.AbsoluteT),
+    dict(mode=Mode.FramePerfect, multi=PixelMultiMode.Collapse, tm=TimeMode.AbsoluteT),
+    dict(mode=Mode.FramePerfect, multi=PixelMultiMode.Collapse, tm=TimeMode.DeltaT),
+    dict(mode=Mode.Continuous, multi=PixelMultiMode.Normal, tm=TimeMode.AbsoluteT),
+    dict(mode=Mode.Continuous, multi=PixelMultiMode.Collapse, tm=TimeMode.AbsoluteT),
+    dict(mode=Mode.Continuous, multi=PixelMultiMode.Normal, tm=TimeMode.DeltaT),
+]
+
+
+@pytest.mark.parametrize("case", CASES, ids=lambda c: f"{Mode(c['mode']).name}-{PixelMultiMode(c['multi']).name}-{TimeMode(c['tm']).name}")
+@pytest.mark.parametrize("crf_like", [(0, 10, 0), (7, 2, 10)], ids=["lossless", "lossy"])
+def test_kernel_matches_oracle(case, crf_like):
+    c_max, c_vel, c0 = crf_like
+    params = K.TranscodeParams(
+        mode=int(case["mode"]),
+        multi_mode=int(case["multi"]),
+        time_mode=int(case["tm"]),
+        ref_time=255,
+        delta_t_max=255 * 8,
+        c_thresh_max=c_max,
+        c_increase_velocity=max(c_vel, 1),
+    )
+    rng = np.random.default_rng(hash((case["mode"], case["multi"], case["tm"], c_max)) % 2**32)
+    N, T = 64, 40
+    # random walk intensities with occasional jumps + flat and zero pixels
+    frames = np.zeros((T, N), dtype=np.uint8)
+    cur = rng.integers(0, 256, N)
+    for t in range(T):
+        step = rng.integers(-6, 7, N)
+        jump = rng.random(N) < 0.05
+        cur = np.where(jump, rng.integers(0, 256, N), np.clip(cur + step, 0, 255))
+        frames[t] = cur
+    frames[:, 0] = 128  # constant pixel
+    frames[:, 1] = 0  # dark pixel
+    frames[:, 2] = 255  # saturated pixel
+
+    init = frames[0]
+    got = run_kernel(frames, params, c0, init_frame=init)
+    want = run_oracle(frames, params, c0, init_frame=init)
+    assert len(got) == len(want), (len(got), len(want))
+    mism = [i for i, (g, w) in enumerate(zip(got, want)) if g != w]
+    assert not mism, (mism[:5], [got[i] for i in mism[:3]], [want[i] for i in mism[:3]])
