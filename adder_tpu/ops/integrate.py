@@ -607,6 +607,7 @@ def compact_slots(slot_d, slot_t, slot_m):
     return out_pix, out_d, out_t, count
 
 
+@functools.lru_cache(maxsize=64)
 def make_transcode_chunk(p: TranscodeParams, event_cap: int):
     """Build a jittable function scanning T frames through the integrator,
     compacting events into a bounded (event_cap,) buffer on device.

@@ -1,0 +1,171 @@
+"""Framed (conventional video) -> ADDER source.
+
+ref: adder-codec-rs/src/transcoder/source/framed.rs. The reference decodes
+via ffmpeg (video-rs); here cv2.VideoCapture provides frames (BGR, matching
+the reference's channel order), with an array-backed variant for
+deterministic tests and batch pipelines.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import numpy as np
+
+from ..core.types import Mode, PlaneSize, SourceCamera, TimeMode
+from .video import SourceError, Video
+
+
+def handle_color(frame_bgr: np.ndarray, color: bool) -> np.ndarray:
+    """BGR frame -> gray (ITU-R 601 luma, like the reference's conversion)
+    or passthrough. ref: utils/cv.rs:215-232 (handle_color)."""
+    if color:
+        return frame_bgr
+    b = frame_bgr[..., 0].astype(np.float64)
+    g = frame_bgr[..., 1].astype(np.float64)
+    r = frame_bgr[..., 2].astype(np.float64)
+    gray = 0.114 * b + 0.587 * g + 0.299 * r
+    return (gray + 0.5).astype(np.uint8)[..., None]
+
+
+class FramedArray:
+    """Array-backed framed source: (T, H, W, C) uint8 frames.
+
+    The deterministic core used by tests, benchmarks, and the mp4 wrapper.
+    API mirrors Framed (ref: framed.rs:22-280) minus the decoder.
+    """
+
+    def __init__(
+        self,
+        frames: np.ndarray,
+        source_fps: float = 30.0,
+        chunk_frames: int = 8,
+    ):
+        frames = np.asarray(frames)
+        if frames.ndim == 3:
+            frames = frames[..., None]
+        self.frames = frames.astype(np.uint8)
+        self.source_fps = source_fps
+        T, H, W, C = self.frames.shape
+        plane = PlaneSize(W, H, C)
+        self.video = Video(plane, Mode.FramePerfect, chunk_frames=chunk_frames)
+        self.frame_idx = 0
+        self.frame_idx_start = 0
+
+    # -- builder methods (ref: framed.rs:94-111, VideoBuilder impl) --
+
+    def frame_start(self, frame_idx_start: int) -> "FramedArray":
+        if frame_idx_start >= len(self.frames):
+            raise SourceError(f"start frame {frame_idx_start} out of bounds")
+        self.frame_idx = self.frame_idx_start = frame_idx_start
+        return self
+
+    def auto_time_parameters(
+        self, ref_time: int, delta_t_max: int, time_mode: Optional[TimeMode] = None
+    ) -> "FramedArray":
+        """tps = ref_time * fps (ref: framed.rs:94-111)."""
+        if delta_t_max % ref_time != 0:
+            raise SourceError("delta_t_max must be a multiple of ref_time")
+        tps = int(ref_time * self.source_fps)
+        self.video.time_parameters(tps, ref_time, delta_t_max, time_mode)
+        return self
+
+    def time_parameters(self, tps, ref_time, delta_t_max, time_mode=None):
+        if delta_t_max % ref_time != 0:
+            raise SourceError("delta_t_max must be a multiple of ref_time")
+        self.video.time_parameters(tps, ref_time, delta_t_max, time_mode)
+        return self
+
+    def crf(self, crf: int) -> "FramedArray":
+        self.video.update_crf(crf)
+        return self
+
+    def quality_manual(self, *args) -> "FramedArray":
+        self.video.update_quality_manual(*args)
+        return self
+
+    def write_out(self, source_camera, time_mode, pixel_multi_mode,
+                  adu_interval, encoder_type, encoder_options, write):
+        self.video.write_out(
+            source_camera, time_mode, pixel_multi_mode, adu_interval,
+            encoder_type, encoder_options, write,
+        )
+        return self
+
+    def detect_features(self, detect, show_features=None):
+        self.video.detect_features(detect, show_features)
+        return self
+
+    def get_ref_time(self):
+        return self.video.ref_time
+
+    def get_video_ref(self):
+        return self.video
+
+    def get_video_mut(self):
+        return self.video
+
+    # -- Source trait (ref: video.rs:1419-1442) --
+
+    def consume(self):
+        """One input interval (ref: framed.rs:127-157)."""
+        if self.frame_idx >= len(self.frames):
+            raise EOFError("source exhausted")
+        frame = self.frames[self.frame_idx]
+        self.frame_idx += 1
+        return self.video.integrate_matrix(frame, float(self.video.ref_time))
+
+    def consume_batch(self, max_frames: Optional[int] = None):
+        """Device-chunked fast path: transcode up to chunk_frames frames."""
+        t = self.video.chunk_frames if max_frames is None else max_frames
+        if self.frame_idx >= len(self.frames):
+            raise EOFError("source exhausted")
+        chunk = self.frames[self.frame_idx : self.frame_idx + t]
+        self.frame_idx += len(chunk)
+        return self.video.integrate_matrix_batch(
+            chunk, float(self.video.ref_time)
+        )
+
+    def get_running_input_bitrate(self) -> float:
+        v = self.video
+        return v.tps / v.ref_time * v.plane.volume() * 8.0
+
+
+class Framed(FramedArray):
+    """mp4/video-file framed source via cv2 (ref: framed.rs:42-122).
+
+    Decodes the whole clip up front into the array-backed source. For long
+    videos use `Framed.streaming` (lazy chunk decode).
+    """
+
+    def __init__(self, input_path: str, color_input: bool, scale: float = 1.0,
+                 chunk_frames: int = 8, max_frames: Optional[int] = None):
+        import cv2
+
+        cap = cv2.VideoCapture(str(input_path))
+        if not cap.isOpened():
+            raise SourceError(f"could not open {input_path}")
+        fps = cap.get(cv2.CAP_PROP_FPS) or 30.0
+        frames = []
+        while True:
+            ok, frame = cap.read()
+            if not ok:
+                break
+            if scale != 1.0:
+                h, w = frame.shape[:2]
+                frame = cv2.resize(
+                    frame,
+                    (int(w * scale), int(h * scale)),
+                    interpolation=cv2.INTER_AREA,
+                )
+            frames.append(handle_color(frame, color_input))
+            if max_frames is not None and len(frames) >= max_frames:
+                break
+        cap.release()
+        if not frames:
+            raise SourceError(f"no frames decoded from {input_path}")
+        super().__init__(
+            np.stack(frames), source_fps=fps, chunk_frames=chunk_frames
+        )
+        self.color_input = color_input
+        self.scale = scale

@@ -1,0 +1,345 @@
+"""Video: the transcoder runtime tying the dense kernel to the encoder.
+
+ref: adder-codec-rs/src/transcoder/source/video.rs (Video<W>, VideoState,
+builder methods, integrate_matrix, CRF/ROI quality control).
+
+TPU-native redesign:
+- The reference's rayon row-chunk fan-out (video.rs:677-734) disappears: the
+  whole H*W*C plane is one dense kernel invocation; event order equals the
+  reference's single-thread order (its own determinism contract).
+- Frames are transcoded in device-resident chunks of T intervals via one
+  jitted lax.scan (ops.integrate.make_transcode_chunk); events come back as
+  one compacted struct-of-arrays block per chunk and are bulk-fed to the
+  encoder (no per-event host loop).
+- Event-capacity overflow is detected from the returned count; the chunk is
+  re-run from the (still-live) pre-chunk state with a doubled cap.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..codec.encoder import (
+    EmptyOutput,
+    Encoder,
+    EncoderOptions,
+    EncoderType,
+    RawOutput,
+)
+from ..codec.header import CodecMetadata, LATEST_CODEC_VERSION
+from ..codec.rate_controller import Crf
+from ..core.types import (
+    EventArray,
+    Mode,
+    NO_CHANNEL,
+    PixelMultiMode,
+    PlaneSize,
+    SourceCamera,
+    TimeMode,
+)
+from ..ops import integrate as ops
+
+
+class SourceError(Exception):
+    pass
+
+
+@dataclass
+class Roi:
+    """Region of interest (ref: video.rs:219-223)."""
+
+    start_x: int
+    start_y: int
+    end_x: int
+    end_y: int
+
+
+class Video:
+    """Shared transcoder engine for all sources (ref: video.rs:322-1301)."""
+
+    def __init__(
+        self,
+        plane: PlaneSize,
+        pixel_tree_mode: Mode,
+        chunk_frames: int = 8,
+    ):
+        self.plane = plane
+        self.n = plane.volume()
+        self.pixel_tree_mode = pixel_tree_mode
+        self.pixel_multi_mode = PixelMultiMode.Collapse
+        self.delta_t_max = 7650
+        self.ref_time = 255
+        self.tps = 7650
+        self.time_mode = TimeMode.AbsoluteT
+        self.in_interval_count = 0
+        self.chunk_frames = chunk_frames
+        self.roi: Optional[Roi] = None
+        self.feature_detection = False
+
+        self.state = ops.init_state(self.n)
+        self._c_thresh_baseline_applied = False
+
+        meta = self._make_meta()
+        self.encoder = Encoder.new_empty(meta, EncoderOptions.default(plane))
+        self.encoder_type = EncoderType.Empty
+
+        self._chunk_fns: dict = {}
+        self._cap_mult = 2  # event capacity = _cap_mult * N * T per chunk
+        self._pending_frames: list[np.ndarray] = []
+        self.running_intensities = np.zeros(plane.shape, dtype=np.uint8)
+
+    # -- builder methods (ref: video.rs:271-317 VideoBuilder) --
+
+    def _make_meta(self, source_camera=SourceCamera.FramedU8, adu_interval=0):
+        return CodecMetadata(
+            codec_version=LATEST_CODEC_VERSION,
+            time_mode=self.time_mode,
+            plane=self.plane,
+            tps=self.tps,
+            ref_interval=self.ref_time,
+            delta_t_max=self.delta_t_max,
+            source_camera=source_camera,
+            adu_interval=adu_interval,
+        )
+
+    def time_parameters(
+        self, tps: int, ref_time: int, delta_t_max: int, time_mode=None
+    ) -> "Video":
+        """ref: video.rs:493-537"""
+        if delta_t_max < ref_time:
+            raise SourceError(
+                f"delta_t_max {delta_t_max} < ref_time {ref_time}"
+            )
+        self.tps = tps
+        self.ref_time = ref_time
+        self.delta_t_max = delta_t_max
+        if time_mode is not None:
+            self.time_mode = TimeMode(time_mode)
+        self._chunk_fns.clear()
+        return self
+
+    def write_out(
+        self,
+        source_camera: Optional[SourceCamera],
+        time_mode: Optional[TimeMode],
+        pixel_multi_mode: Optional[PixelMultiMode],
+        adu_interval: Optional[int],
+        encoder_type: EncoderType,
+        encoder_options: EncoderOptions,
+        write,
+    ) -> "Video":
+        """Attach the output encoder (ref: video.rs:546-636)."""
+        self.pixel_multi_mode = (
+            PixelMultiMode.Collapse
+            if pixel_multi_mode is None
+            else pixel_multi_mode
+        )
+        if time_mode is not None:
+            self.time_mode = TimeMode(time_mode)
+        meta = self._make_meta(
+            source_camera or SourceCamera.FramedU8, adu_interval or 0
+        )
+        meta.time_mode = self.time_mode
+        if encoder_type == EncoderType.Raw:
+            self.encoder = Encoder(RawOutput(meta, write), encoder_options)
+        elif encoder_type == EncoderType.Compressed:
+            self.encoder = Encoder.new_compressed(meta, write, encoder_options)
+        else:
+            self.encoder = Encoder.new_empty(meta, encoder_options)
+        self.encoder_type = encoder_type
+        self._chunk_fns.clear()
+        return self
+
+    def end_write_stream(self):
+        """Flush pending frames and close the writer (ref: video.rs:641-648)."""
+        self.flush()
+        writer = self.encoder.close_writer()
+        meta = self._make_meta()
+        self.encoder = Encoder.new_empty(meta, self.encoder.options)
+        return writer
+
+    # -- quality control --
+
+    def update_crf(self, crf: int) -> None:
+        """ref: video.rs:1241-1251"""
+        self.encoder.options.crf = Crf(crf, self.plane)
+        self.encoder.sync_crf()
+        base = self.encoder.options.crf.get_parameters().c_thresh_baseline
+        self.state = self.state._replace(
+            c_thresh=jnp.full((self.n,), base, jnp.int32),
+            c_increase_counter=jnp.zeros((self.n,), jnp.int32),
+        )
+
+    def update_quality_manual(
+        self,
+        c_thresh_baseline: int,
+        c_thresh_max: int,
+        delta_t_max_multiplier: int,
+        c_increase_velocity: int,
+        feature_c_radius: float,
+    ) -> None:
+        """ref: video.rs:1264-1287"""
+        crf = self.encoder.options.crf
+        crf.override_c_thresh_baseline(c_thresh_baseline)
+        crf.override_c_thresh_max(c_thresh_max)
+        crf.override_c_increase_velocity(c_increase_velocity)
+        crf.override_feature_c_radius(int(feature_c_radius))
+        self.delta_t_max = delta_t_max_multiplier * self.ref_time
+        self.encoder.sync_crf()
+        self._chunk_fns.clear()
+        self.state = self.state._replace(
+            c_thresh=jnp.full((self.n,), c_thresh_baseline, jnp.int32),
+            c_increase_counter=jnp.zeros((self.n,), jnp.int32),
+        )
+
+    def update_delta_t_max(self, dtm: int) -> None:
+        self.delta_t_max = max(self.ref_time, dtm)
+        self._chunk_fns.clear()
+
+    def update_roi(self, roi: Optional[Roi]) -> None:
+        self.roi = roi
+
+    def _apply_roi(self) -> None:
+        """Lower c_thresh inside the ROI (ref: video.rs:865-881)."""
+        if self.roi is None:
+            return
+        base = min(
+            self.encoder.options.crf.get_parameters().c_thresh_baseline, 2
+        )
+        mask = np.zeros(self.plane.shape, dtype=bool)
+        mask[
+            self.roi.start_y : self.roi.end_y + 1,
+            self.roi.start_x : self.roi.end_x + 1,
+            :,
+        ] = True
+        c = np.asarray(self.state.c_thresh).copy()
+        c[mask.reshape(-1)] = base
+        self.state = self.state._replace(c_thresh=jnp.asarray(c))
+
+    # -- getters (API parity) --
+
+    def get_ref_time(self):
+        return self.ref_time
+
+    def get_delta_t_max(self):
+        return self.delta_t_max
+
+    def get_tps(self):
+        return self.tps
+
+    def get_time_mode(self):
+        return self.time_mode
+
+    def get_encoder_options(self):
+        return self.encoder.get_options()
+
+    def get_event_size(self):
+        return self.encoder.meta.event_size
+
+    # -- transcoding --
+
+    def _params(self) -> ops.TranscodeParams:
+        p = self.encoder.options.crf.get_parameters()
+        return ops.TranscodeParams(
+            mode=int(self.pixel_tree_mode),
+            multi_mode=int(self.pixel_multi_mode),
+            time_mode=int(self.time_mode),
+            ref_time=self.ref_time,
+            delta_t_max=self.delta_t_max,
+            c_thresh_max=p.c_thresh_max,
+            c_increase_velocity=max(p.c_increase_velocity, 1),
+        )
+
+    def _chunk_fn(self, cap: int):
+        key = (self._params(), cap)
+        fn = self._chunk_fns.get(key)
+        if fn is None:
+            fn = ops.make_transcode_chunk(key[0], cap)
+            self._chunk_fns[key] = fn
+        return fn
+
+    def integrate_matrix(
+        self, matrix: np.ndarray, time_spanned: float
+    ) -> EventArray:
+        """Transcode one input interval; returns this interval's events (also
+        fed to the encoder). ref: video.rs:651-778.
+
+        For throughput, prefer `integrate_matrix_batch` (amortizes the jit
+        dispatch over many frames) — this single-frame path exists for API
+        parity and interactive use.
+        """
+        matrix = np.asarray(matrix)
+        if matrix.ndim == 2:
+            matrix = matrix[..., None]
+        return self.integrate_matrix_batch(matrix[None, ...], time_spanned)
+
+    def integrate_matrix_batch(
+        self, frames: np.ndarray, time_spanned: Optional[float] = None
+    ) -> EventArray:
+        """Transcode T frames (T, H, W, C) through one device chunk."""
+        frames = np.asarray(frames)
+        T = frames.shape[0]
+        flat = frames.reshape(T, -1)
+        if flat.shape[1] != self.n:
+            raise SourceError(
+                f"frame shape {frames.shape[1:]} != plane {self.plane.shape}"
+            )
+        if time_spanned is None:
+            time_spanned = float(self.ref_time)
+
+        if self.in_interval_count == 0:
+            self.state = ops.set_initial_d(
+                self.state, jnp.asarray(flat[0].astype(np.int32))
+            )
+        self._apply_roi()
+        self.in_interval_count += T
+
+        intens = jnp.asarray(flat.astype(np.float32))
+        fvals = jnp.asarray(flat.astype(np.int32))
+        t = jnp.float32(time_spanned)
+
+        while True:
+            # cap quantized to power-of-two multiples of N so the jit cache
+            # stays warm across chunks; K_SLOTS*N*T is an exact upper bound,
+            # so small planes get it immediately (no overflow recompiles)
+            mult = min(self._cap_mult, ops.K_SLOTS)
+            if self.n * T <= 1 << 20:
+                mult = ops.K_SLOTS
+            cap = mult * self.n * T
+            fn = self._chunk_fn(cap)
+            new_state, pix, d, tt, total, per_int = fn(
+                self.state, intens, fvals, t
+            )
+            total_i = int(total)
+            if total_i <= cap or mult >= ops.K_SLOTS:
+                break
+            self._cap_mult *= 2  # overflow: rerun from untouched pre-chunk state
+        self.state = new_state
+
+        pix = np.asarray(pix[:total_i])
+        d = np.asarray(d[:total_i]).astype(np.uint8)
+        tt = np.asarray(tt[:total_i])
+        events = self._events_from_flat(pix, d, tt)
+        self.encoder.ingest_event_array(events)
+        return events
+
+    def _events_from_flat(self, pix, d, t) -> EventArray:
+        C = self.plane.channels
+        W = self.plane.width
+        c = (pix % C).astype(np.uint8) if C > 1 else np.full(len(pix), NO_CHANNEL, np.uint8)
+        xy = pix // C
+        x = (xy % W).astype(np.uint16)
+        y = (xy // W).astype(np.uint16)
+        return EventArray(x, y, c, d, t)
+
+    def flush(self) -> None:
+        """No buffered frames in the current design; hook for pipelining."""
+
+    def detect_features(self, detect: bool, show_features=None) -> "Video":
+        self.feature_detection = detect
+        return self

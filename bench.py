@@ -1,0 +1,92 @@
+"""Headline benchmark: 1080p framed -> ADDER transcode throughput on TPU.
+
+Prints one JSON line {"metric", "value", "unit", "vs_baseline"}.
+
+Baseline (BASELINE.md): the driver-set north star is 10x realtime 1080p
+mono transcode per chip = 10 * 1920*1080*24 px/s = 497.7 Mpx/s.
+vs_baseline = achieved Mpx/s / 497.7.
+
+The measured loop is the full production path: frames (host) -> device
+chunk (integration kernel + on-device event compaction) -> events back to
+host -> raw serialization, steady state over several chunks.
+"""
+
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def main():
+    from adder_tpu.codec.encoder import EncoderOptions, EncoderType
+    from adder_tpu.core.types import PixelMultiMode, SourceCamera, TimeMode
+    from adder_tpu.transcoder.framed import FramedArray
+
+    H, W, T = 1080, 1920, 8
+    n_chunks = 6
+    rng = np.random.default_rng(7)
+
+    # moving-gradient synthetic video: realistic mix of stable pixels and
+    # contrast changes (~5-15% of pixels firing per frame)
+    x = np.arange(W, dtype=np.float32)[None, :]
+    y = np.arange(H, dtype=np.float32)[:, None]
+    frames = np.zeros((T * n_chunks, H, W), dtype=np.uint8)
+    for t in range(T * n_chunks):
+        img = (
+            128
+            + 80 * np.sin(x / 97.0 + t * 0.35)
+            + 40 * np.cos(y / 53.0 - t * 0.21)
+        )
+        noise = rng.integers(-2, 3, (H, W))
+        frames[t] = np.clip(img + noise, 0, 255).astype(np.uint8)
+
+    src = FramedArray(frames, source_fps=24.0, chunk_frames=T)
+    src.auto_time_parameters(255, 255 * 4, TimeMode.AbsoluteT)
+    src.crf(3)
+
+    class _Null:
+        def write(self, b):
+            return len(b)
+
+        def flush(self):
+            pass
+
+    src.write_out(
+        SourceCamera.FramedU8,
+        TimeMode.AbsoluteT,
+        PixelMultiMode.Collapse,
+        None,
+        EncoderType.Raw,
+        EncoderOptions.default(src.video.plane),
+        _Null(),
+    )
+
+    # warmup: compile + first chunk
+    src.consume_batch()
+    t0 = time.perf_counter()
+    done_frames = 0
+    while True:
+        try:
+            ev = src.consume_batch()
+        except EOFError:
+            break
+        done_frames += T
+    dt = time.perf_counter() - t0
+
+    mpx_s = done_frames * H * W / dt / 1e6
+    baseline = 10 * 1920 * 1080 * 24 / 1e6  # 10x realtime 1080p24
+    print(
+        json.dumps(
+            {
+                "metric": "framed_to_adder_1080p_mono_transcode",
+                "value": round(mpx_s, 2),
+                "unit": "Mpx/s",
+                "vs_baseline": round(mpx_s / baseline, 3),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -19,7 +19,13 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import pathlib
 
+import jax
 import pytest
+
+# persistent XLA compilation cache: repeat test runs skip the ~40s scans
+jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax_test")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
 
 REFERENCE_SAMPLES = pathlib.Path("/root/reference/adder-codec-rs/tests/samples")
 

@@ -1,0 +1,189 @@
+"""End-to-end transcode tests: frames -> Video/encoder -> .adder -> framer.
+
+The full-stack analogue of the reference's simulproc dark test
+(ref: src/bin/adder_simulproc.rs:169-268): synthetic frames are transcoded
+through the device kernel + encoder into a `.adder` file, byte-compared
+against an oracle-driven encode, then reconstructed and checked against the
+source frames.
+"""
+
+import io
+
+import numpy as np
+import pytest
+
+from adder_tpu.codec.decoder import open_file_decoder
+from adder_tpu.codec.encoder import Encoder, EncoderOptions, EncoderType, RawOutput
+from adder_tpu.core.types import (
+    Coord,
+    EventArray,
+    Mode,
+    PixelMultiMode,
+    PlaneSize,
+    SourceCamera,
+    TimeMode,
+)
+from adder_tpu.framer.driver import FramerBuilder
+from adder_tpu.transcoder import pixel_oracle as O
+from adder_tpu.transcoder.framed import FramedArray
+from adder_tpu.transcoder.video import Video
+
+
+def synth_frames(T, H, W, C=1, seed=0):
+    rng = np.random.default_rng(seed)
+    frames = np.zeros((T, H, W, C), dtype=np.uint8)
+    cur = rng.integers(0, 256, (H, W, C))
+    for t in range(T):
+        step = rng.integers(-4, 5, (H, W, C))
+        jump = rng.random((H, W, C)) < 0.03
+        cur = np.where(jump, rng.integers(0, 256, (H, W, C)), np.clip(cur + step, 0, 255))
+        frames[t] = cur
+    return frames
+
+
+def oracle_encode(frames, tps, ref_time, dtm, time_mode, crf_params, c0=10):
+    """Reference-order scalar encode: per interval, raster pixels, per-pixel
+    emit order (the reference's single-thread contract)."""
+    T, H, W, C = frames.shape
+    plane = PlaneSize(W, H, C)
+    pixels = []
+    for y in range(H):
+        for x in range(W):
+            for c in range(C):
+                px = O.PixelArena(1.0, Coord(x, y, None if C == 1 else c))
+                px.set_time_mode(time_mode)
+                px.c_thresh = c0
+                fv = int(frames[0, y, x, c])
+                px.arena[0].d = O.get_d_from_intensity(float(fv)) if fv else 128
+                px.base_val = fv
+                pixels.append(px)
+    out = []
+    flat = frames.reshape(T, -1)
+    for t in range(T):
+        for i, px in enumerate(pixels):
+            buf = []
+            O.integrate_for_px(
+                px,
+                int(flat[t, i]),
+                float(flat[t, i]),
+                float(ref_time),
+                buf,
+                Mode.FramePerfect,
+                PixelMultiMode.Collapse,
+                dtm,
+                ref_time,
+                crf_params[0],
+                max(crf_params[1], 1),
+            )
+            out.extend(buf)
+    return out
+
+
+@pytest.mark.parametrize("channels", [1, 3], ids=["mono", "color"])
+def test_transcode_matches_oracle_bytes(tmp_path, channels):
+    frames = synth_frames(12, 8, 10, channels)
+    src = FramedArray(frames, source_fps=24.0, chunk_frames=4)
+    src.auto_time_parameters(255, 255 * 4, TimeMode.AbsoluteT)
+    path = tmp_path / "out.adder"
+    src.write_out(
+        SourceCamera.FramedU8,
+        TimeMode.AbsoluteT,
+        PixelMultiMode.Collapse,
+        None,
+        EncoderType.Raw,
+        EncoderOptions.default(src.video.plane),
+        open(path, "wb"),
+    )
+    while True:
+        try:
+            src.consume_batch()
+        except EOFError:
+            break
+    src.video.end_write_stream().close()
+
+    # independent scalar encode
+    p = src.video.encoder.options.crf.get_parameters()
+    want_events = oracle_encode(
+        frames, 255 * 24, 255, 255 * 4, TimeMode.AbsoluteT, (7, 7), c0=10
+    )
+    dec = open_file_decoder(str(path))
+    got = list(dec.digest_all())
+    assert len(got) == len(want_events), (len(got), len(want_events))
+    assert got == want_events
+
+
+def test_transcode_reconstruct_quality(tmp_path):
+    """CRF0 lossless round trip: reconstruction approximates source frames."""
+    frames = synth_frames(16, 12, 14, 1, seed=3)
+    src = FramedArray(frames, source_fps=30.0, chunk_frames=8)
+    src.auto_time_parameters(255, 255 * 4, TimeMode.AbsoluteT)
+    src.crf(0)
+    path = tmp_path / "out.adder"
+    src.write_out(
+        SourceCamera.FramedU8,
+        TimeMode.AbsoluteT,
+        PixelMultiMode.Collapse,
+        None,
+        EncoderType.Raw,
+        EncoderOptions.default(src.video.plane),
+        open(path, "wb"),
+    )
+    while True:
+        try:
+            src.consume_batch()
+        except EOFError:
+            break
+    src.video.end_write_stream().close()
+
+    dec = open_file_decoder(str(path))
+    m = dec.meta
+    fps = m.tps / m.ref_interval
+    fs = (
+        FramerBuilder(m.plane)
+        .time_parameters(m.tps, m.ref_interval, m.delta_t_max, fps)
+        .codec_meta(m.codec_version, m.time_mode)
+        .source_info(dec.get_source_type(), m.source_camera)
+        .finish()
+    )
+    fs.ingest_event_array(dec.digest_all())
+    recon = []
+    while fs.is_frame_0_filled():
+        vals, filled = fs.pop_next_frame()
+        recon.append(vals)
+    assert len(recon) >= 12
+    recon = np.stack(recon)
+    # compare frames 1.. (first frame bootstraps D targets)
+    n = min(len(recon), len(frames)) - 1
+    err = recon[1 : n + 1].astype(np.float64) - frames[1 : n + 1].astype(np.float64)
+    mse = float((err**2).mean())
+    psnr = 10 * np.log10(255.0**2 / max(mse, 1e-9))
+    assert psnr > 38.0, psnr
+
+
+def test_consume_single_matches_batch(tmp_path):
+    frames = synth_frames(6, 6, 6, 1, seed=9)
+    outs = []
+    for use_batch in (False, True):
+        src = FramedArray(frames, source_fps=24.0, chunk_frames=3)
+        src.auto_time_parameters(100, 400, TimeMode.AbsoluteT)
+        buf = io.BytesIO()
+        src.write_out(
+            SourceCamera.FramedU8,
+            TimeMode.AbsoluteT,
+            PixelMultiMode.Collapse,
+            None,
+            EncoderType.Raw,
+            EncoderOptions.default(src.video.plane),
+            buf,
+        )
+        while True:
+            try:
+                if use_batch:
+                    src.consume_batch()
+                else:
+                    src.consume()
+            except EOFError:
+                break
+        src.video.end_write_stream()
+        outs.append(buf.getvalue())
+    assert outs[0] == outs[1]
