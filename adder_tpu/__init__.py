@@ -19,6 +19,10 @@ Layer map (mirrors reference SURVEY.md section 1):
 
 __version__ = "0.1.0"
 
+from .runtime import configure_compilation_cache as _configure_cache
+
+_configure_cache()
+
 from .core.types import (  # noqa: F401
     D_EMPTY,
     D_MAX,

@@ -4,26 +4,31 @@ TPU-native redesign of the reference's per-pixel arena walk
 (ref: adder-codec-rs/src/transcoder/event_pixel_tree.rs:317-479 and
 transcoder/source/video.rs:1317-1380 `integrate_for_px`).
 
-Design: the per-pixel recursive arena becomes struct-of-arrays state of shape
-(DEPTH, N) over the flattened H*W*C plane. The reference's loop index `idx`
-increments uniformly per iteration, so the arena walk unrolls into DEPTH
-masked elementwise steps — no per-pixel dynamic control flow, no gathers in
-the hot loop. D-table lookups (D_SHIFT_F32) are replaced by f32 exponent-bit
-manipulation, which is exact for powers of two.
+Design: the per-pixel recursive arena becomes struct-of-arrays state over the
+flattened H*W*C plane. The reference's loop index `idx` increments uniformly
+per iteration, so the arena walk unrolls into DEPTH masked elementwise steps
+— no per-pixel dynamic control flow in the hot loop. D-table lookups
+(D_SHIFT) are replaced by f32 exponent-bit manipulation, exact for powers of
+two.
 
-Per input interval each pixel emits events into K=9 fixed slots:
-  slot 0      pop_top_event (pre-integration, dtm/D_MAX overflow)
-  slots 1..=6 pop_best_events (contrast change drain, up to DEPTH_POP nodes)
-  slot 7      set_d_for_continuous D_EMPTY filler (Continuous mode only)
-  slot 8      pop_top_event (post-integration)
-Flattened in (pixel, slot) order this reproduces the reference's
-single-threaded event order exactly (per-pixel chronological, raster across
-pixels — the reference's own determinism contract, see
-src/bin/adder_simulproc.rs:188).
+Performance notes:
+- Inside one interval the DEPTH node planes are handled as independent (N,)
+  vectors (Python lists), not as a stacked (DEPTH, N) array: chained
+  dynamic-update-slices on the stacked form made XLA materialize full-state
+  copies per update. The stacked PixelState layout survives only at the
+  interval boundary (restack = the one mandatory state write).
+- All real arithmetic is float32 and division is correctly rounded
+  (ops/numerics.py), so events are bit-identical to the scalar oracle
+  (adder_tpu.transcoder.pixel_oracle) and the Rust-reference semantics.
 
-All real arithmetic is float32, mirroring the reference's `Intensity32` math
-step for step so events are bit-identical to the scalar oracle
-(adder_tpu.transcoder.pixel_oracle).
+Per input interval each pixel emits events into K fixed slots:
+  slot 0        pop_top_event (pre-integration, dtm/D_MAX overflow)
+  slots 1..=D   pop_best_events (contrast change drain, up to DEPTH nodes)
+  slot D+1      set_d_for_continuous D_EMPTY filler (Continuous mode only)
+  slot D+2      pop_top_event (post-integration)
+Flattened (pixel, slot)-major this reproduces the reference's single-thread
+event order exactly (per-pixel chronological, raster across pixels — the
+reference's own determinism contract, src/bin/adder_simulproc.rs:188).
 """
 
 from __future__ import annotations
@@ -72,8 +77,7 @@ class PixelState(NamedTuple):
 
 
 class TranscodeParams(NamedTuple):
-    """Static + per-run integration parameters (all Python scalars: baked
-    into the jitted computation)."""
+    """Per-run integration parameters (Python scalars, baked into the jit)."""
 
     mode: int = int(Mode.FramePerfect)
     multi_mode: int = int(PixelMultiMode.Collapse)
@@ -82,6 +86,62 @@ class TranscodeParams(NamedTuple):
     delta_t_max: int = 7650
     c_thresh_max: int = 7
     c_increase_velocity: int = 7
+
+
+class _S:
+    """Unstacked per-interval working state: DEPTH lists of (N,) vectors."""
+
+    __slots__ = (
+        "nd", "ni", "ndt", "bd", "bdt", "length", "base_val", "c_thresh",
+        "cic", "lft", "running_t", "need_pop", "dtm_reached", "popped_dtm",
+        "overflow",
+    )
+
+    @classmethod
+    def unstack(cls, st: PixelState) -> "_S":
+        s = cls()
+        s.nd = [st.node_d[i] for i in range(DEPTH)]
+        s.ni = [st.node_integ[i] for i in range(DEPTH)]
+        s.ndt = [st.node_dt[i] for i in range(DEPTH)]
+        s.bd = [st.best_d[i] for i in range(DEPTH)]
+        s.bdt = [st.best_dt[i] for i in range(DEPTH)]
+        s.length = st.length
+        s.base_val = st.base_val
+        s.c_thresh = st.c_thresh
+        s.cic = st.c_increase_counter
+        s.lft = st.last_fired_t
+        s.running_t = st.running_t
+        s.need_pop = st.need_pop
+        s.dtm_reached = st.dtm_reached
+        s.popped_dtm = st.popped_dtm
+        s.overflow = st.overflow
+        return s
+
+    def restack(self) -> PixelState:
+        return PixelState(
+            node_d=jnp.stack(self.nd),
+            node_integ=jnp.stack(self.ni),
+            node_dt=jnp.stack(self.ndt),
+            best_d=jnp.stack(self.bd),
+            best_dt=jnp.stack(self.bdt),
+            length=self.length,
+            base_val=self.base_val,
+            c_thresh=self.c_thresh,
+            c_increase_counter=self.cic,
+            last_fired_t=self.lft,
+            running_t=self.running_t,
+            need_pop=self.need_pop,
+            dtm_reached=self.dtm_reached,
+            popped_dtm=self.popped_dtm,
+            overflow=self.overflow,
+        )
+
+    def tail_pick(self, arrs, zero):
+        """arrs[length-1] per pixel via unrolled selects."""
+        out = jnp.full_like(arrs[0], zero)
+        for s in range(DEPTH):
+            out = jnp.where(self.length - 1 == s, arrs[s], out)
+        return out
 
 
 def init_state(n_pixels: int, c_thresh: int = 10) -> PixelState:
@@ -174,12 +234,9 @@ def _emit_abs_continuous(lft, dt_f32, p: TranscodeParams):
 # --- pop_top_event (ref: event_pixel_tree.rs:139-210) -----------------------
 
 
-def _pop_top_event(state: PixelState, next_i, mask, p: TranscodeParams):
-    """Vectorized root pop. Returns (state, ev_d, ev_t, mask)."""
-    n0_d = state.node_d[0]
-    n0_integ = state.node_integ[0]
-    n0_dt = state.node_dt[0]
-    n0_best = state.best_d[0]
+def _pop_top_event(s: _S, next_i, mask, p: TranscodeParams):
+    """Vectorized root pop. Returns (ev_d, ev_t, mask)."""
+    n0_d, n0_integ, n0_dt, n0_best = s.nd[0], s.ni[0], s.ndt[0], s.bd[0]
     has_best = n0_best >= 0
 
     zero_case = ~has_best & (n0_integ == 0.0) & (n0_dt > 0.0)
@@ -192,90 +249,65 @@ def _pop_top_event(state: PixelState, next_i, mask, p: TranscodeParams):
     ev_d = jnp.where(
         zero_case, D_ZERO_INTEGRATION, jnp.where(has_best, n0_best, synth_d)
     )
-    ev_dt = jnp.where(has_best, state.best_dt[0], n0_dt)
+    ev_dt = jnp.where(has_best, s.bdt[0], n0_dt)
 
-    t, new_lft = _emit_abs(state.last_fired_t, ev_dt, p)
-    lft = jnp.where(mask, new_lft, state.last_fired_t)
+    t, new_lft = _emit_abs(s.lft, ev_dt, p)
+    s.lft = jnp.where(mask, new_lft, s.lft)
 
-    # arena shift-left (best & synth cases); zero case leaves arena in place
+    # arena shift-left for best & synth cases; zero case leaves arena in place
     shift = mask & ~zero_case
+    for i in range(DEPTH - 1):
+        s.nd[i] = jnp.where(shift, s.nd[i + 1], s.nd[i])
+        s.ni[i] = jnp.where(shift, s.ni[i + 1], s.ni[i])
+        s.ndt[i] = jnp.where(shift, s.ndt[i + 1], s.ndt[i])
+        s.bd[i] = jnp.where(shift, s.bd[i + 1], s.bd[i])
+        s.bdt[i] = jnp.where(shift, s.bdt[i + 1], s.bdt[i])
+
     new_d0 = _d_from_intensity(next_i)
-
-    def shifted(arr, fill):
-        rolled = jnp.concatenate([arr[1:], arr[-1:]], axis=0)
-        return jnp.where(shift, rolled, arr)
-
-    node_d = shifted(state.node_d, 0)
-    node_integ = shifted(state.node_integ, 0.0)
-    node_dt = shifted(state.node_dt, 0.0)
-    best_d = shifted(state.best_d, -1)
-    best_dt = shifted(state.best_dt, 0.0)
-
-    # synth case: after synthesizing, arena[1] := new node then shift, so the
-    # result is arena[0] = PixelNode(next_i), length = 1
-    node_d = node_d.at[0].set(jnp.where(mask & synth_case, new_d0, node_d[0]))
-    node_integ = node_integ.at[0].set(
-        jnp.where(mask & synth_case, 0.0, node_integ[0])
-    )
-    node_dt = node_dt.at[0].set(jnp.where(mask & synth_case, 0.0, node_dt[0]))
-    best_d = best_d.at[0].set(jnp.where(mask & synth_case, -1, best_d[0]))
-
+    # synth case result: arena[0] = PixelNode(next_i), length = 1
+    ms = mask & synth_case
+    s.nd[0] = jnp.where(ms, new_d0, s.nd[0])
+    s.ni[0] = jnp.where(ms, 0.0, s.ni[0])
+    s.ndt[0] = jnp.where(ms, 0.0, s.ndt[0])
+    s.bd[0] = jnp.where(ms, -1, s.bd[0])
     # zero case: node0.dt = 0, node0.d = d_from(next_i)
-    node_dt = node_dt.at[0].set(jnp.where(mask & zero_case, 0.0, node_dt[0]))
-    node_d = node_d.at[0].set(jnp.where(mask & zero_case, new_d0, node_d[0]))
+    mz = mask & zero_case
+    s.ndt[0] = jnp.where(mz, 0.0, s.ndt[0])
+    s.nd[0] = jnp.where(mz, new_d0, s.nd[0])
 
-    length = jnp.where(
-        mask & synth_case,
-        1,
-        jnp.where(mask & has_best, state.length - 1, state.length),
+    s.length = jnp.where(
+        ms, 1, jnp.where(mask & has_best, s.length - 1, s.length)
     )
-
-    state = state._replace(
-        node_d=node_d,
-        node_integ=node_integ,
-        node_dt=node_dt,
-        best_d=best_d,
-        best_dt=best_dt,
-        length=length,
-        last_fired_t=lft,
-        need_pop=jnp.where(mask, False, state.need_pop),
-        popped_dtm=jnp.where(mask, True, state.popped_dtm),
-    )
-    return state, ev_d, t, mask
+    s.need_pop = jnp.where(mask, False, s.need_pop)
+    s.popped_dtm = jnp.where(mask, True, s.popped_dtm)
+    return ev_d, t, mask
 
 
 # --- pop_best_events (ref: event_pixel_tree.rs:213-287) ---------------------
 
 
-def _pop_best_events(state: PixelState, intensity, mask, p: TranscodeParams):
-    """Drain all node best events where `mask`. Returns
-    (state, [(d, t, emit_mask)] * DEPTH) with slots in node order."""
-    lft = state.last_fired_t
+def _pop_best_events(s: _S, intensity, mask, p: TranscodeParams):
+    """Drain all node best events where `mask`. Returns DEPTH slots in node
+    order as [(d, t, emit_mask)]."""
     slots = []
-    emits = []
+    any_emit = None
     tail_zeroed = jnp.zeros_like(mask)
-    for s in range(DEPTH):
-        node_active = s < state.length
-        has_best = state.best_d[s] >= 0
-        zero_ev = ~has_best & (state.node_dt[s] > 0.0) & (state.node_integ[s] == 0.0)
+    for k in range(DEPTH):
+        node_active = k < s.length
+        has_best = s.bd[k] >= 0
+        zero_ev = ~has_best & (s.ndt[k] > 0.0) & (s.ni[k] == 0.0)
         emit = mask & node_active & (has_best | zero_ev)
-        d_raw = jnp.where(has_best, state.best_d[s], D_ZERO_INTEGRATION)
-        dt_raw = jnp.where(has_best, state.best_dt[s], state.node_dt[s])
-        t, new_lft = _emit_abs(lft, dt_raw, p)
-        lft = jnp.where(emit, new_lft, lft)
+        d_raw = jnp.where(has_best, s.bd[k], D_ZERO_INTEGRATION)
+        dt_raw = jnp.where(has_best, s.bdt[k], s.ndt[k])
+        t, new_lft = _emit_abs(s.lft, dt_raw, p)
+        s.lft = jnp.where(emit, new_lft, s.lft)
         slots.append((d_raw, t, emit))
-        emits.append(emit)
+        any_emit = emit if any_emit is None else (any_emit | emit)
         # zero-event mutates node.dt = 0; only the tail's survives the reset
-        tail_zeroed = tail_zeroed | (emit & zero_ev & (s == state.length - 1))
-
-    any_emit = functools.reduce(jnp.logical_or, emits)
-    collapse = (
-        mask & state.popped_dtm & any_emit
-        if p.multi_mode == int(PixelMultiMode.Collapse)
-        else jnp.zeros_like(mask)
-    )
+        tail_zeroed = tail_zeroed | (emit & zero_ev & (k == s.length - 1))
 
     if p.multi_mode == int(PixelMultiMode.Collapse):
+        collapse = mask & s.popped_dtm & any_emit
         # first emitted event across slots
         first_d = jnp.zeros_like(slots[0][0])
         first_t = jnp.zeros_like(slots[0][1])
@@ -285,125 +317,93 @@ def _pop_best_events(state: PixelState, intensity, mask, p: TranscodeParams):
             first_d = jnp.where(take, d_raw, first_d)
             first_t = jnp.where(take, t, first_t)
             found = found | emit
-        # rewrite slots: [first, (D_EMPTY, running_t)], rest off
+        # rewrite: [first, (D_EMPTY, running_t)], rest off (ref: :249-265)
         new_slots = []
-        for s, (d_raw, t, emit) in enumerate(slots):
-            if s == 0:
+        for k, (d_raw, t, emit) in enumerate(slots):
+            if k == 0:
                 new_slots.append(
                     (
                         jnp.where(collapse, first_d, d_raw),
                         jnp.where(collapse, first_t, t),
-                        jnp.where(collapse, collapse, emit),
+                        emit | collapse,
                     )
                 )
-            elif s == 1:
+            elif k == 1:
                 new_slots.append(
                     (
                         jnp.where(collapse, D_EMPTY, d_raw),
-                        jnp.where(collapse, _as_u32(state.running_t), t),
-                        jnp.where(collapse, collapse, emit),
+                        jnp.where(collapse, _as_u32(s.running_t), t),
+                        emit | collapse,
                     )
                 )
             else:
                 new_slots.append((d_raw, t, emit & ~collapse))
         slots = new_slots
-        lft = jnp.where(collapse, state.running_t, lft)
+        s.lft = jnp.where(collapse, s.running_t, s.lft)
+    else:
+        collapse = jnp.zeros_like(mask)
 
     # arena reset: normal -> arena[0] = tail node; collapse -> fresh node
-    tail_oh = (
-        jax.lax.broadcasted_iota(_i32, (DEPTH, 1), 0) == (state.length - 1)[None, :]
-    )
-    tail_d = jnp.sum(jnp.where(tail_oh, state.node_d, 0), axis=0)
-    tail_integ = jnp.sum(jnp.where(tail_oh, state.node_integ, 0.0), axis=0)
-    tail_dt = jnp.sum(jnp.where(tail_oh, state.node_dt, 0.0), axis=0)
-    tail_dt = jnp.where(tail_zeroed, 0.0, tail_dt)
+    tail_d = s.tail_pick(s.nd, 0)
+    tail_integ = s.tail_pick(s.ni, 0.0)
+    tail_dt = jnp.where(tail_zeroed, 0.0, s.tail_pick(s.ndt, 0.0))
     # reference tail never carries a best event (debug_assert, ref: :242)
 
     fresh_d = _d_from_intensity(intensity)
-    new0_d = jnp.where(collapse, fresh_d, tail_d)
-    new0_integ = jnp.where(collapse, 0.0, tail_integ)
-    new0_dt = jnp.where(collapse, 0.0, tail_dt)
+    s.nd[0] = jnp.where(mask, jnp.where(collapse, fresh_d, tail_d), s.nd[0])
+    s.ni[0] = jnp.where(mask, jnp.where(collapse, 0.0, tail_integ), s.ni[0])
+    s.ndt[0] = jnp.where(mask, jnp.where(collapse, 0.0, tail_dt), s.ndt[0])
+    s.bd[0] = jnp.where(mask, -1, s.bd[0])
 
-    node_d = state.node_d.at[0].set(jnp.where(mask, new0_d, state.node_d[0]))
-    node_integ = state.node_integ.at[0].set(
-        jnp.where(mask, new0_integ, state.node_integ[0])
-    )
-    node_dt = state.node_dt.at[0].set(jnp.where(mask, new0_dt, state.node_dt[0]))
-    best_d = state.best_d.at[0].set(jnp.where(mask, -1, state.best_d[0]))
-
-    state = state._replace(
-        node_d=node_d,
-        node_integ=node_integ,
-        node_dt=node_dt,
-        best_d=best_d,
-        length=jnp.where(mask, 1, state.length),
-        last_fired_t=lft,
-        need_pop=jnp.where(mask, False, state.need_pop),
-        dtm_reached=jnp.where(mask, False, state.dtm_reached),
-        popped_dtm=jnp.where(mask, False, state.popped_dtm),
-    )
-    return state, slots
+    s.length = jnp.where(mask, 1, s.length)
+    s.need_pop = jnp.where(mask, False, s.need_pop)
+    s.dtm_reached = jnp.where(mask, False, s.dtm_reached)
+    s.popped_dtm = jnp.where(mask, False, s.popped_dtm)
+    return slots
 
 
 # --- set_d_for_continuous (ref: event_pixel_tree.rs:289-312) ----------------
 
 
-def _set_d_for_continuous(state: PixelState, intensity, mask, p: TranscodeParams):
+def _set_d_for_continuous(s: _S, intensity, mask, p: TranscodeParams):
     next_d = _d_from_intensity(intensity)
-    fire = mask & (next_d < state.node_d[0]) & (state.node_dt[0] > 0.0)
-    t, new_lft = _emit_abs_continuous(state.last_fired_t, state.node_dt[0], p)
-    state = state._replace(
-        last_fired_t=jnp.where(fire, new_lft, state.last_fired_t),
-        node_dt=state.node_dt.at[0].set(
-            jnp.where(fire, 0.0, state.node_dt[0])
-        ),
-        node_integ=state.node_integ.at[0].set(
-            jnp.where(fire, 0.0, state.node_integ[0])
-        ),
-        node_d=state.node_d.at[0].set(
-            jnp.where(mask, next_d, state.node_d[0])
-        ),
-    )
-    return state, jnp.full_like(next_d, D_EMPTY), t, fire
+    fire = mask & (next_d < s.nd[0]) & (s.ndt[0] > 0.0)
+    t, new_lft = _emit_abs_continuous(s.lft, s.ndt[0], p)
+    s.lft = jnp.where(fire, new_lft, s.lft)
+    s.ndt[0] = jnp.where(fire, 0.0, s.ndt[0])
+    s.ni[0] = jnp.where(fire, 0.0, s.ni[0])
+    s.nd[0] = jnp.where(mask, next_d, s.nd[0])
+    return jnp.full_like(next_d, D_EMPTY), t, fire
 
 
 # --- integrate (ref: event_pixel_tree.rs:317-479) ---------------------------
 
 
-def _integrate(state: PixelState, intensity, time, p: TranscodeParams):
+def _integrate(s: _S, intensity, time, p: TranscodeParams):
     """Vectorized PixelArena::integrate over all pixels."""
     # tail D re-aim for virgin tail nodes (ref: :332-335)
-    tail_oh = (
-        jax.lax.broadcasted_iota(_i32, (DEPTH, 1), 0) == (state.length - 1)[None, :]
+    tail_virgin = (s.tail_pick(s.ndt, 0.0) == 0.0) & (
+        s.tail_pick(s.ni, 0.0) == 0.0
     )
-    tail_virgin = (
-        jnp.sum(jnp.where(tail_oh, state.node_dt, 0.0), axis=0) == 0.0
-    ) & (jnp.sum(jnp.where(tail_oh, state.node_integ, 0.0), axis=0) == 0.0)
     d_aim = _d_from_intensity(intensity)
-    node_d = jnp.where(tail_oh & tail_virgin[None, :], d_aim[None, :], state.node_d)
+    for k in range(DEPTH):
+        s.nd[k] = jnp.where(
+            (s.length - 1 == k) & tail_virgin, d_aim, s.nd[k]
+        )
 
-    running_t = (state.running_t + time).astype(_f32)
-
-    node_integ = state.node_integ
-    node_dt = state.node_dt
-    best_d = state.best_d
-    best_dt = state.best_dt
-    length = state.length
-    overflow = state.overflow
+    s.running_t = (s.running_t + time).astype(_f32)
 
     i_cur = intensity.astype(_f32)
     t_cur = jnp.broadcast_to(jnp.asarray(time, _f32), i_cur.shape)
     active = jnp.ones(i_cur.shape, jnp.bool_)
     collapse_brk = (
-        state.popped_dtm
+        s.popped_dtm
         if p.multi_mode == int(PixelMultiMode.Collapse)
-        else jnp.zeros_like(state.popped_dtm)
+        else jnp.zeros_like(s.popped_dtm)
     )
 
-    for s in range(DEPTH):
-        d = node_d[s]
-        integ = node_integ[s]
-        dt = node_dt[s]
+    for k in range(DEPTH):
+        d, integ, dt = s.nd[k], s.ni[k], s.ndt[k]
 
         total = (integ + i_cur).astype(_f32)
         fire = active & (total >= _dshift_f32(d))
@@ -419,44 +419,29 @@ def _integrate(state: PixelState, intensity, time, p: TranscodeParams):
             _f32(1.0),
             prop,
         )
-        # barrier: force separate f32 rounding of the product (the reference
-        # rounds `time * prop` to f32 before adding; XLA would otherwise fuse
-        # into an FMA and shift event timestamps by 1 tick)
+        # barrier: force separate f32 rounding of the products (the reference
+        # rounds `time * prop` before adding; XLA would otherwise fuse into
+        # an FMA and shift event timestamps by 1 tick)
         t_prop = jax.lax.optimization_barrier((t_cur * prop).astype(_f32))
         i_prop = jax.lax.optimization_barrier((i_cur * prop).astype(_f32))
         fired_best_dt = (dt + t_prop).astype(_f32)
 
         # D bump for continued integration (ref: :449-461)
         bump = new_d < D_MAX
-        integ2 = total
-        dt2 = (dt + t_cur).astype(_f32)
         d_bumped = jnp.minimum(
-            jnp.maximum(new_d + 1, _d_from_intensity(integ2) + 1), 128
+            jnp.maximum(new_d + 1, _d_from_intensity(total) + 1), 128
         )
 
-        # node update: fire&bump -> (d_bumped, total, dt+t); fire&!bump
-        # (new_d == D_MAX) -> (new_d, unchanged); active no-fire -> accumulate
         accum = active & ~fire
-        node_d = node_d.at[s].set(
-            jnp.where(fire, jnp.where(bump, d_bumped, new_d), d)
+        s.nd[k] = jnp.where(fire, jnp.where(bump, d_bumped, new_d), d)
+        s.ni[k] = jnp.where(
+            fire & bump, total, jnp.where(accum, total, integ)
         )
-        node_integ = node_integ.at[s].set(
-            jnp.where(
-                fire & bump,
-                integ2,
-                jnp.where(accum, (integ + i_cur).astype(_f32), integ),
-            )
+        s.ndt[k] = jnp.where(
+            (fire & bump) | accum, (dt + t_cur).astype(_f32), dt
         )
-        node_dt = node_dt.at[s].set(
-            jnp.where(
-                fire & bump,
-                dt2,
-                jnp.where(accum, (dt + t_cur).astype(_f32), dt),
-            )
-        )
-
-        best_d = best_d.at[s].set(jnp.where(fire, new_d, best_d[s]))
-        best_dt = best_dt.at[s].set(jnp.where(fire, fired_best_dt, best_dt[s]))
+        s.bd[k] = jnp.where(fire, new_d, s.bd[k])
+        s.bdt[k] = jnp.where(fire, fired_best_dt, s.bdt[k])
 
         # remainder (ref: :463-473)
         rem_i = (i_cur - i_prop).astype(_f32)
@@ -469,66 +454,50 @@ def _integrate(state: PixelState, intensity, time, p: TranscodeParams):
             next_i = jnp.where(neg, 0.0, rem_i).astype(_f32)
             next_t = jnp.where(neg, 0.0, rem_t).astype(_f32)
 
-        # child creation at s+1 (ref: :344-355)
+        # child creation at k+1 (ref: :344-355)
         child_d = _d_from_intensity(i_cur)
-        if s + 1 < DEPTH:
-            node_d = node_d.at[s + 1].set(jnp.where(fire, child_d, node_d[s + 1]))
-            node_integ = node_integ.at[s + 1].set(
-                jnp.where(fire, 0.0, node_integ[s + 1])
-            )
-            node_dt = node_dt.at[s + 1].set(jnp.where(fire, 0.0, node_dt[s + 1]))
-            best_d = best_d.at[s + 1].set(jnp.where(fire, -1, best_d[s + 1]))
+        if k + 1 < DEPTH:
+            s.nd[k + 1] = jnp.where(fire, child_d, s.nd[k + 1])
+            s.ni[k + 1] = jnp.where(fire, 0.0, s.ni[k + 1])
+            s.ndt[k + 1] = jnp.where(fire, 0.0, s.ndt[k + 1])
+            s.bd[k + 1] = jnp.where(fire, -1, s.bd[k + 1])
         else:
-            overflow = overflow + jnp.sum(fire.astype(_i32))
-        length = jnp.where(fire, s + 2, length)
+            s.overflow = s.overflow + jnp.sum(fire.astype(_i32))
+        s.length = jnp.where(fire, k + 2, s.length)
 
         i_cur = jnp.where(fire, next_i, i_cur)
         t_cur = jnp.where(fire, next_t, t_cur)
 
-        # break conditions for the next iteration (idx = s+1)
+        # break conditions for the next iteration (idx = k+1)
         brk = collapse_brk
         if p.mode == int(Mode.FramePerfect):
             brk = brk | fire
         else:
             # continuous: child D override when remaining time > ref_time
-            if s + 1 < DEPTH:
+            if k + 1 < DEPTH:
                 override = fire & ~collapse_brk & (t_cur > _f32(p.ref_time))
-                node_d = node_d.at[s + 1].set(
-                    jnp.where(override, _d_from_intensity(i_cur), node_d[s + 1])
+                s.nd[k + 1] = jnp.where(
+                    override, _d_from_intensity(i_cur), s.nd[k + 1]
                 )
             brk = brk | (fire & (i_cur == 0.0))
-        brk = brk | ((s + 1) >= length)
+        brk = brk | ((k + 1) >= s.length)
         active = active & ~brk
 
-    length = jnp.minimum(length, DEPTH)  # overflow containment (counted above)
-    dtm_reached = node_dt[0] >= _f32(p.delta_t_max)
-    need_pop = (node_d[0] == D_MAX) | (dtm_reached & ~state.popped_dtm)
+    s.length = jnp.minimum(s.length, DEPTH)  # overflow containment
+    s.dtm_reached = s.ndt[0] >= _f32(p.delta_t_max)
+    s.need_pop = (s.nd[0] == D_MAX) | (s.dtm_reached & ~s.popped_dtm)
 
     # adaptive c_thresh (ref: :402-412)
-    c = state.c_thresh
-    cc = state.c_increase_counter
-    adapting = c < p.c_thresh_max
+    adapting = s.c_thresh < p.c_thresh_max
     vel_m1 = (p.c_increase_velocity - 1) % 256
-    bump_c = adapting & (cc >= vel_m1)
-    inc = (_as_u32(jnp.broadcast_to(jnp.asarray(time, _f32), c.shape)) // _u32(max(p.ref_time, 1))).astype(_i32) % 256
-    c_thresh = jnp.where(bump_c, jnp.minimum(c + 1, 255), c)
-    c_counter = jnp.where(
-        bump_c, 0, jnp.where(adapting, jnp.minimum(cc + inc, 255), cc)
-    )
-
-    return state._replace(
-        node_d=node_d,
-        node_integ=node_integ,
-        node_dt=node_dt,
-        best_d=best_d,
-        best_dt=best_dt,
-        length=length,
-        running_t=running_t,
-        dtm_reached=dtm_reached,
-        need_pop=need_pop,
-        c_thresh=c_thresh,
-        c_increase_counter=c_counter,
-        overflow=overflow,
+    bump_c = adapting & (s.cic >= vel_m1)
+    inc = (
+        _as_u32(jnp.broadcast_to(jnp.asarray(time, _f32), s.c_thresh.shape))
+        // _u32(max(p.ref_time, 1))
+    ).astype(_i32) % 256
+    s.c_thresh = jnp.where(bump_c, jnp.minimum(s.c_thresh + 1, 255), s.c_thresh)
+    s.cic = jnp.where(
+        bump_c, 0, jnp.where(adapting, jnp.minimum(s.cic + inc, 255), s.cic)
     )
 
 
@@ -545,42 +514,39 @@ def integrate_interval(
     """One input interval over all pixels (ref: video.rs:1317-1380).
 
     Returns (state, slot_d (K, N) int32, slot_t (K, N) uint32,
-    slot_mask (K, N) bool). Slots flattened (pixel, slot)-major reproduce the
-    reference's single-threaded event order.
-    """
+    slot_mask (K, N) bool)."""
     intensity = intensity.astype(_f32)
+    s = _S.unstack(state)
 
     # 1. pre-integration pop_top
-    state, d0, t0, m0 = _pop_top_event(state, intensity, state.need_pop, p)
+    d0, t0, m0 = _pop_top_event(s, intensity, s.need_pop, p)
 
     # 2. contrast threshold check (u8 saturating, ref: video.rs:1338-1340)
-    bv = state.base_val
-    c = state.c_thresh
+    bv = s.base_val
+    c = s.c_thresh
     changed = (frame_val < jnp.maximum(bv - c, 0)) | (
         frame_val > jnp.minimum(bv + c, 255)
     )
-    state, pop_slots = _pop_best_events(state, intensity, changed, p)
-    state = state._replace(
-        base_val=jnp.where(changed, frame_val.astype(_i32), bv)
-    )
+    pop_slots = _pop_best_events(s, intensity, changed, p)
+    s.base_val = jnp.where(changed, frame_val.astype(_i32), bv)
 
     if p.mode == int(Mode.Continuous):
-        state, d7, t7, m7 = _set_d_for_continuous(state, intensity, changed, p)
+        d7, t7, m7 = _set_d_for_continuous(s, intensity, changed, p)
     else:
         d7 = jnp.zeros_like(d0)
         t7 = jnp.zeros_like(t0)
         m7 = jnp.zeros_like(m0)
 
     # 3. integrate
-    state = _integrate(state, intensity, time, p)
+    _integrate(s, intensity, time, p)
 
     # 4. post-integration pop_top
-    state, d8, t8, m8 = _pop_top_event(state, intensity, state.need_pop, p)
+    d8, t8, m8 = _pop_top_event(s, intensity, s.need_pop, p)
 
-    slot_d = jnp.stack([d0] + [s[0] for s in pop_slots] + [d7, d8]).astype(_i32)
-    slot_t = jnp.stack([t0] + [s[1] for s in pop_slots] + [t7, t8]).astype(_u32)
-    slot_m = jnp.stack([m0] + [s[2] for s in pop_slots] + [m7, m8])
-    return state, slot_d, slot_t, slot_m
+    slot_d = jnp.stack([d0] + [x[0] for x in pop_slots] + [d7, d8]).astype(_i32)
+    slot_t = jnp.stack([t0] + [x[1] for x in pop_slots] + [t7, t8]).astype(_u32)
+    slot_m = jnp.stack([m0] + [x[2] for x in pop_slots] + [m7, m8])
+    return s.restack(), slot_d, slot_t, slot_m
 
 
 # --- chunked transcode with on-device compaction ----------------------------
@@ -593,7 +559,6 @@ def compact_slots(slot_d, slot_t, slot_m):
     filled with pix_idx = -1. cap = K*N (exact; callers slice by count).
     """
     K, N = slot_d.shape
-    # (pixel, slot)-major flattening
     m = slot_m.T.reshape(-1)
     d = slot_d.T.reshape(-1)
     t = slot_t.T.reshape(-1)
@@ -605,6 +570,40 @@ def compact_slots(slot_d, slot_t, slot_m):
     out_d = jnp.zeros((K * N,), _i32).at[idx].set(d, mode="drop")
     out_t = jnp.zeros((K * N,), _u32).at[idx].set(t, mode="drop")
     return out_pix, out_d, out_t, count
+
+
+def _compact_sorted(slot_d, slot_t, slot_m, offset, bufs, event_cap):
+    """Event compaction via stable sort (valid-first) — avoids XLA scatter,
+    which lowers to a serial loop on TPU. Event order is preserved because
+    the sort is stable over the (pixel, slot)-major flattening."""
+    K, N = slot_d.shape
+    m = slot_m.T.reshape(-1)
+    d = slot_d.T.reshape(-1).astype(_i32)
+    t = slot_t.T.reshape(-1).astype(_u32)
+    pix = jnp.broadcast_to(
+        jnp.arange(N, dtype=_i32)[:, None], (N, K)
+    ).reshape(-1)
+    inv = (~m).astype(jnp.uint8)
+    _, d_s, t_s, pix_s = jax.lax.sort(
+        (inv, d, t, pix), dimension=0, is_stable=True, num_keys=1
+    )
+    n_ev = jnp.sum(m.astype(_i32))
+    buf_pix, buf_d, buf_t = bufs
+    # write the sorted prefix into the chunk buffer at `offset` via
+    # dynamic-update-slice (contiguous, no scatter)
+    take = min(K * N, event_cap)
+    valid = jnp.arange(take, dtype=_i32) < n_ev
+    # masked merge: read-modify-write of the target slice
+    old_pix = jax.lax.dynamic_slice_in_dim(buf_pix, offset, take)
+    old_d = jax.lax.dynamic_slice_in_dim(buf_d, offset, take)
+    old_t = jax.lax.dynamic_slice_in_dim(buf_t, offset, take)
+    new_pix = jnp.where(valid, pix_s[:take], old_pix)
+    new_d = jnp.where(valid, d_s[:take], old_d)
+    new_t = jnp.where(valid, t_s[:take], old_t)
+    buf_pix = jax.lax.dynamic_update_slice_in_dim(buf_pix, new_pix, offset, 0)
+    buf_d = jax.lax.dynamic_update_slice_in_dim(buf_d, new_d, offset, 0)
+    buf_t = jax.lax.dynamic_update_slice_in_dim(buf_t, new_t, offset, 0)
+    return (buf_pix, buf_d, buf_t), offset + n_ev, n_ev
 
 
 @functools.lru_cache(maxsize=64)
@@ -620,39 +619,28 @@ def make_transcode_chunk(p: TranscodeParams, event_cap: int):
     time f32) -> (state, ev_pix, ev_d, ev_t, total, interval_counts (T,)).
     `total` > event_cap signals overflow (events beyond cap were dropped;
     caller should re-run the chunk from the checkpointed state with a larger
-    cap).
-    """
+    cap)."""
 
     def chunk_fn(state, intensities, frame_vals, time):
         def step(carry, inp):
-            st, buf_pix, buf_d, buf_t, offset = carry
+            st, bufs, offset = carry
             intensity, fv = inp
             st, sd, stt, sm = integrate_interval(st, intensity, fv, time, p)
-            K, N = sd.shape
-            m = sm.T.reshape(-1)
-            d = sd.T.reshape(-1)
-            t = stt.T.reshape(-1)
-            pix = jnp.repeat(jnp.arange(N, dtype=_i32), K)
-            # two-level prefix sum: per-pixel slot counts, then across pixels
-            counts = jnp.sum(sm, axis=0).astype(_i32)  # (N,)
-            base = jnp.cumsum(counts) - counts  # exclusive
-            rank = (jnp.cumsum(sm.astype(_i32), axis=0) - 1).T.reshape(-1)
-            pos = offset + jnp.repeat(base, K) + rank
-            idx = jnp.where(m, pos, event_cap)
-            buf_pix = buf_pix.at[idx].set(pix, mode="drop")
-            buf_d = buf_d.at[idx].set(d, mode="drop")
-            buf_t = buf_t.at[idx].set(t, mode="drop")
-            n_ev = jnp.sum(counts)
-            return (st, buf_pix, buf_d, buf_t, offset + n_ev), n_ev
+            bufs, offset, n_ev = _compact_sorted(
+                sd, stt, sm, offset, bufs, event_cap
+            )
+            return (st, bufs, offset), n_ev
 
-        buf_pix = jnp.full((event_cap,), -1, _i32)
-        buf_d = jnp.zeros((event_cap,), _i32)
-        buf_t = jnp.zeros((event_cap,), _u32)
-        (state, buf_pix, buf_d, buf_t, total), per_interval = jax.lax.scan(
+        bufs = (
+            jnp.full((event_cap,), -1, _i32),
+            jnp.zeros((event_cap,), _i32),
+            jnp.zeros((event_cap,), _u32),
+        )
+        (state, bufs, total), per_interval = jax.lax.scan(
             step,
-            (state, buf_pix, buf_d, buf_t, jnp.zeros((), _i32)),
+            (state, bufs, jnp.zeros((), _i32)),
             (intensities, frame_vals),
         )
-        return state, buf_pix, buf_d, buf_t, total, per_interval
+        return state, bufs[0], bufs[1], bufs[2], total, per_interval
 
     return jax.jit(chunk_fn)
