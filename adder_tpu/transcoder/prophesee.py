@@ -1,0 +1,275 @@
+"""Prophesee RAW (EVT2-style) DVS stream -> ADDER source.
+
+ref: adder-codec-rs/src/transcoder/source/prophesee.rs. Integration model:
+per-pixel last-log-intensity + last-timestamp state; for each DVS event the
+held intensity is integrated over the gap, the log intensity steps by
++-camera_theta, and one source-tick of the new intensity is integrated.
+
+The record decode is one vectorized numpy pass over the whole file. The
+per-event integration runs on the scalar pixel oracle (the reference itself
+is serial here, chunk_rows=1): DVS streams are sparse and order-dependent
+per pixel. A batched device path (sort-by-pixel + segmented integration, see
+SURVEY P5) is the planned optimization.
+"""
+
+from __future__ import annotations
+
+import io
+from typing import Optional
+
+import numpy as np
+
+from ..codec.encoder import EncoderOptions, EncoderType
+from ..core.types import (
+    Coord,
+    Event,
+    EventArray,
+    Mode,
+    PixelMultiMode,
+    PlaneSize,
+    SourceCamera,
+    TimeMode,
+)
+from ..utils.cv import mid_clamp_u8
+from . import pixel_oracle as O
+from .video import SourceError, Video
+
+PROPHESEE_SOURCE_TPS = 1_000_000
+
+
+def parse_header(f) -> tuple:
+    """Parse the %-comment header; returns (bod, ev_type, ev_size, (h, w)).
+
+    ref: prophesee.rs:367-422
+    """
+    f.seek(0)
+    height = width = None
+    n_comment = 0
+    bod = 0
+    while True:
+        bod = f.tell()
+        line = f.readline()
+        if not line or not line.startswith(b"%"):
+            break
+        words = line.replace(b"\t", b" ").split(b" ")
+        if len(words) > 2:
+            try:
+                if words[1] == b"Height":
+                    height = int(words[2].strip())
+                elif words[1] == b"Width":
+                    width = int(words[2].strip())
+            except ValueError:
+                pass
+        n_comment += 1
+    f.seek(bod)
+    ev_type, ev_size = 0, 0
+    if n_comment > 0:
+        buf = f.read(2)
+        ev_type, ev_size = buf[0], buf[1]
+        if ev_size != 8 or ev_type not in (0, 12):
+            raise SourceError("Invalid Prophesee event size")
+    bod = f.tell()
+    return bod, ev_type, ev_size, (height or 70, width or 100)
+
+
+def decode_events_np(buf: bytes) -> tuple:
+    """Vectorized decode of 8-byte LE records -> (t, x, y, p) arrays.
+
+    ref: prophesee.rs:437-452 (bit layout: x = data & 0x3FF,
+    y = (data & 0xFFFC000) >> 14, p = (data >> 28) & 1).
+    """
+    raw = np.frombuffer(buf, dtype="<u4")
+    n = len(raw) // 2
+    t = raw[0 : 2 * n : 2]
+    data = raw[1 : 2 * n : 2].astype(np.int64)
+    x = (data & 0x3FF).astype(np.uint16)
+    y = ((data & 0xFFFC000) >> 14).astype(np.uint16)
+    p = ((data & 0x10000000) >> 28).astype(np.uint8)
+    return t.astype(np.uint32), x, y, p
+
+
+class Prophesee:
+    """Prophesee RAW -> ADDER transcoder (ref: prophesee.rs:25-323)."""
+
+    def __init__(self, ref_time: int, input_path: str):
+        self.reader = open(input_path, "rb")
+        _, _, _, (h, w) = parse_header(self.reader)
+        plane = PlaneSize(w, h, 1)
+        self.plane = plane
+
+        # tps scales the source's 1 MHz clock by ref_time; dtm = 2*ref_time
+        # (ref: prophesee.rs:65-76)
+        self.video = Video(plane, Mode.Continuous)
+        self.video.time_parameters(
+            ref_time * PROPHESEE_SOURCE_TPS,
+            ref_time,
+            ref_time * 2,
+            TimeMode.AbsoluteT,
+        )
+
+        self.running_t = 0
+        self.t_subtract = 0
+        self.camera_theta = 0.02
+        n = plane.volume()
+        self.dvs_last_timestamps = np.full(n, 2, dtype=np.uint32)
+        self.dvs_last_ln_val = np.full(n, np.log1p(128.0 / 255.0), dtype=np.float64)
+        self.running_intensities = np.full(plane.shape, 128, dtype=np.uint8)
+
+        # scalar oracle state per pixel (Continuous mode integration)
+        self._pixels = [
+            O.PixelArena(1.0, Coord(i % w, i // w, None)) for i in range(n)
+        ]
+        for px in self._pixels:
+            px.set_time_mode(TimeMode.AbsoluteT)
+
+        self._event_buf: Optional[np.ndarray] = None
+        self._event_pos = 0
+        self._eof = False
+
+    # -- builder API parity --
+
+    def crf(self, crf: int):
+        self.video.update_crf(crf)
+        for px in self._pixels:
+            px.c_thresh = self.video.encoder.options.crf.get_parameters().c_thresh_baseline
+            px.c_increase_counter = 0
+        return self
+
+    def write_out(self, source_camera, time_mode, pixel_multi_mode,
+                  adu_interval, encoder_type, encoder_options, write):
+        self.video.write_out(
+            source_camera, time_mode, pixel_multi_mode, adu_interval,
+            encoder_type, encoder_options, write,
+        )
+        return self
+
+    def get_video_ref(self):
+        return self.video
+
+    def get_video_mut(self):
+        return self.video
+
+    # -- internals --
+
+    def _params(self):
+        v = self.video
+        crf = v.encoder.options.crf.get_parameters()
+        return (
+            Mode.Continuous,
+            v.pixel_multi_mode,
+            v.delta_t_max,
+            v.ref_time,
+            crf.c_thresh_max,
+            max(crf.c_increase_velocity, 1),
+        )
+
+    def _integrate_px(self, i, frame_val, intensity, time_spanned, buffer):
+        mode, multi, dtm, ref, cmax, cvel = self._params()
+        O.integrate_for_px(
+            self._pixels[i], frame_val, intensity, time_spanned, buffer,
+            mode, multi, dtm, ref, cmax, cvel,
+        )
+
+    def _bootstrap(self):
+        """Integrate 2 gray (128) frames at t=0 (ref: prophesee.rs:117-133)."""
+        events: list = []
+        ref = self.video.ref_time
+        for _ in range(2):
+            for i in range(len(self._pixels)):
+                self._integrate_px(i, 128, 128.0, float(ref), events)
+        self.running_t = 2
+        self.video.encoder.ingest_event_array(EventArray.from_events(events))
+        return events
+
+    def _next_dvs_batch(self):
+        """DVS events until t passes running_t + 1/60 s (ref: :136-170)."""
+        if self._event_buf is None:
+            buf = self.reader.read()
+            t, x, y, p = decode_events_np(buf)
+            t = t - self.t_subtract
+            self._event_buf = (t, x, y, p)
+            self._event_pos = 0
+        t, x, y, p = self._event_buf
+        start = self._event_pos
+        if start >= len(t):
+            self._eof = True
+            return None
+        view_interval = PROPHESEE_SOURCE_TPS // 60
+        limit = self.running_t + view_interval
+        beyond = np.flatnonzero(t[start:] > limit)
+        end = start + int(beyond[0]) + 1 if len(beyond) else len(t)
+        if not len(beyond):
+            self._eof = True
+        self._event_pos = end
+        sl = slice(start, end)
+        if end > start:
+            self.running_t = max(self.running_t, int(t[sl].max()))
+        return t[sl], x[sl], y[sl], p[sl]
+
+    def consume(self) -> EventArray:
+        """One view interval's worth of DVS events (ref: prophesee.rs:116-297)."""
+        if self.running_t == 0:
+            self._bootstrap()
+
+        batch = self._next_dvs_batch()
+        if batch is None:
+            self._end_events()
+            raise EOFError("prophesee source exhausted")
+
+        ts, xs, ys, ps = batch
+        W = self.plane.width
+        ref = self.video.ref_time
+        events: list = []
+        for k in range(len(ts)):
+            t = int(ts[k])
+            i = int(ys[k]) * W + int(xs[k])
+            last_t = int(self.dvs_last_timestamps[i])
+            if t < last_t:
+                continue
+            last_ln = self.dvs_last_ln_val[i]
+
+            if t > last_t + 1:
+                last_val = (np.exp(last_ln) - 1.0) * 255.0
+                last_val, last_ln = mid_clamp_u8(last_val, last_ln)
+                time_spanned = (t - last_t - 1) * ref
+                intensity = last_val * (t - last_t - 1)
+                self._integrate_px(
+                    i, int(last_val), float(intensity), float(time_spanned), events
+                )
+
+            new_ln = last_ln - self.camera_theta if ps[k] == 0 else last_ln + self.camera_theta
+            self.dvs_last_ln_val[i] = new_ln
+            self.dvs_last_timestamps[i] = t
+
+            if t > last_t:
+                new_val = (np.exp(new_ln) - 1.0) * 255.0
+                new_val, new_ln = mid_clamp_u8(new_val, new_ln)
+                self.dvs_last_ln_val[i] = new_ln
+                self._integrate_px(i, int(new_val), float(new_val), float(ref), events)
+
+        arr = EventArray.from_events(events)
+        self.video.encoder.ingest_event_array(arr)
+        if self._eof:
+            self._end_events()
+        return arr
+
+    def _end_events(self):
+        """Flush held intensities at EOF (ref: prophesee.rs:325-365)."""
+        events: list = []
+        ref = self.video.ref_time
+        for i in range(len(self._pixels)):
+            last_ln = self.dvs_last_ln_val[i]
+            last_val = (np.exp(last_ln) - 1.0) * 255.0
+            gap = self.running_t - int(self.dvs_last_timestamps[i])
+            if gap <= 0:
+                continue
+            time_spanned = gap * ref
+            intensity = last_val * time_spanned
+            self._integrate_px(
+                i, int(max(min(last_val, 255.0), 0.0)), float(intensity),
+                float(time_spanned), events,
+            )
+        self.video.encoder.ingest_event_array(EventArray.from_events(events))
+
+    def end_write_stream(self):
+        return self.video.end_write_stream()

@@ -1,0 +1,205 @@
+"""Compressed codec tests, mirroring the reference's strategy:
+round-trips at ADU and stream level, skip-cube handling, compression-ratio
+asserts vs raw bytes, lossless-at-CRF0 and +-5-tick lossy t fidelity
+(ref: compressed/stream.rs:443-947, event_adu.rs:240-449).
+"""
+
+import io
+
+import numpy as np
+import pytest
+
+from adder_tpu.codec.compressed import compress_adu, decompress_adu
+from adder_tpu.codec.decoder import Decoder, open_file_decoder
+from adder_tpu.codec.encoder import Encoder, EncoderOptions, EncoderType
+from adder_tpu.codec.header import CodecMetadata, MAGIC_COMPRESSED
+from adder_tpu.core.types import (
+    NO_CHANNEL,
+    Event,
+    EventArray,
+    PlaneSize,
+    SourceCamera,
+    TimeMode,
+)
+
+
+def synth_events(n, w, h, channels, t_span, seed=0, start_t=0):
+    """Per-pixel monotonic event streams over a plane."""
+    rng = np.random.default_rng(seed)
+    xs, ys, cs, ds, ts = [], [], [], [], []
+    n_px = max(n // 4, 1)
+    for _ in range(n_px):
+        x = rng.integers(0, w)
+        y = rng.integers(0, h)
+        c = NO_CHANNEL if channels == 1 else rng.integers(0, channels)
+        k = rng.integers(1, 8)
+        t = start_t + rng.integers(0, t_span // 2)
+        for _ in range(k):
+            xs.append(x)
+            ys.append(y)
+            cs.append(c)
+            ds.append(rng.integers(0, 100))
+            ts.append(t)
+            t += rng.integers(1, max(t_span // 8, 2))
+    return EventArray(
+        np.array(xs, np.uint16),
+        np.array(ys, np.uint16),
+        np.array(cs, np.uint8),
+        np.array(ds, np.uint8),
+        np.array(ts, np.uint32),
+    )
+
+
+def sort_key(ev):
+    return sorted(
+        [(e.c if e.c is not None else -1, e.y, e.x, i) for i, e in enumerate(ev)]
+    )
+
+
+def group_by_pixel(ev, apply_drop_rule=False):
+    d = {}
+    for e in ev:
+        d.setdefault((e.x, e.y, e.c), []).append((e.d, e.t))
+    if apply_drop_rule:
+        # cube ingest drops non-monotonic events once the pixel list has >1
+        # entries (ref: event_cube.rs:127-141)
+        for k, evs in d.items():
+            kept = []
+            for de, te in evs:
+                if len(kept) > 1 and te <= kept[-1][1]:
+                    continue
+                kept.append((de, te))
+            d[k] = kept
+    return d
+
+
+@pytest.mark.parametrize("channels", [1, 3], ids=["mono", "color"])
+def test_adu_roundtrip_lossless(channels):
+    w, h = 40, 30
+    dt_ref, num_intervals = 255, 8
+    ev = synth_events(200, w, h, channels, dt_ref * num_intervals, seed=1)
+    blob = compress_adu(ev, w, h, channels, 0, dt_ref, num_intervals, 0)
+    back = decompress_adu(blob, w, h, channels, 0, dt_ref, num_intervals)
+    # drain order differs from ingest order; compare per-pixel sequences
+    want = group_by_pixel(ev, apply_drop_rule=True)
+    got = group_by_pixel(back)
+    assert set(got) == set(want)
+    for k in want:
+        kept = want[k]
+        assert got[k] == kept, (k, got[k][:4], kept[:4])
+
+
+def test_adu_roundtrip_lossy_slack():
+    """c_thresh_max=7: d exact, t within +-5 ticks (ref stream.rs:694-699)."""
+    w, h = 32, 32
+    dt_ref, num_intervals = 255, 8
+    ev = synth_events(300, w, h, 1, dt_ref * num_intervals, seed=2)
+    blob = compress_adu(ev, w, h, 1, 0, dt_ref, num_intervals, 7)
+    back = decompress_adu(blob, w, h, 1, 0, dt_ref, num_intervals)
+    want = group_by_pixel(ev, apply_drop_rule=True)
+    got = group_by_pixel(back)
+    assert set(got) == set(want)
+    for k in want:
+        assert len(got[k]) == len(want[k])
+        for (gd, gt), (wd, wt) in zip(got[k], want[k]):
+            assert gd == wd
+            assert abs(int(gt) - int(wt)) <= 5, (k, gt, wt)
+
+
+def test_adu_empty():
+    blob = compress_adu(EventArray.empty(), 32, 32, 1, 0, 255, 8, 0)
+    assert len(blob) > 0  # skip-cube symbols + EOF
+    back = decompress_adu(blob, 32, 32, 1, 0, 255, 8)
+    assert len(back) == 0
+
+
+def test_stream_roundtrip_and_ratio(tmp_path):
+    """Full Encoder/Decoder compressed stream round trip + size < raw."""
+    w, h = 48, 32
+    meta = CodecMetadata(
+        codec_version=3,
+        plane=PlaneSize(w, h, 1),
+        tps=255 * 30,
+        ref_interval=255,
+        delta_t_max=255 * 8,
+        time_mode=TimeMode.AbsoluteT,
+        source_camera=SourceCamera.FramedU8,
+        adu_interval=8,
+    )
+    # several ADUs worth of events, globally time-ordered
+    evs = []
+    for adu in range(4):
+        evs.append(
+            synth_events(
+                400, w, h, 1, 255 * 8, seed=adu, start_t=adu * 255 * 8
+            )
+        )
+    allev = EventArray.concatenate(evs)
+    order = np.argsort(allev.t, kind="stable")
+    allev = allev[order]
+
+    path = tmp_path / "c.adder"
+    enc = Encoder.new_compressed(meta, open(path, "wb"), EncoderOptions.default(meta.plane))
+    enc.options.crf.update_quality(0)
+    enc.sync_crf()
+    enc.ingest_event_array(allev)
+    enc.close_writer().close()
+
+    raw_size = len(allev) * 9
+    comp_size = path.stat().st_size
+    assert comp_size < raw_size, (comp_size, raw_size)
+
+    dec = open_file_decoder(str(path))
+    assert dec.magic == MAGIC_COMPRESSED
+    assert dec.meta.adu_interval == 8
+    back = dec.digest_all()
+    want = group_by_pixel(allev)
+    got = group_by_pixel(back)
+    assert set(got) == set(want)
+    dropped = 0
+    for k in want:
+        # stream-level: per-pixel d sequences survive exactly; the cube
+        # ingest rule may drop non-monotonic duplicates
+        wd = [d for d, _ in want[k]]
+        gd = [d for d, _ in got[k]]
+        assert gd == wd[: len(gd)]
+        dropped += len(wd) - len(gd)
+        for (gdd, gt), (wdd, wt) in zip(got[k], want[k]):
+            assert abs(int(gt) - int(wt)) <= 5
+    assert dropped <= len(allev) // 20
+
+
+def test_fixture_reencode_compressed_smaller(samples_dir, tmp_path):
+    """Decode a committed raw fixture, re-encode compressed; file must be
+    smaller than raw (ref: adder-codec-core/tests/integration_tests.rs:12-80)."""
+    dec = open_file_decoder(str(samples_dir / "nyc_source_v2.adder"))
+    events = dec.digest_all()
+    # nyc fixture is DeltaT mode; compressed path needs AbsoluteT-like
+    # monotonic t per pixel — reconstruct absolute times per pixel
+    import numpy as np
+
+    pix = (events.y.astype(np.int64) * 320 + events.x.astype(np.int64))
+    order = np.argsort(pix, kind="stable")
+    t_abs = events.t.astype(np.uint64).copy()
+    spix = pix[order]
+    st = events.t[order].astype(np.uint64)
+    seg = np.ones(len(spix), bool)
+    seg[1:] = spix[1:] != spix[:-1]
+    tot = np.cumsum(st)
+    base = np.maximum.accumulate(np.where(seg, tot - st, 0))
+    t_abs[order] = (tot - base).astype(np.uint64)
+    ev_abs = EventArray(events.x, events.y, events.c, events.d, t_abs.astype(np.uint32))
+    order2 = np.argsort(ev_abs.t, kind="stable")
+    ev_abs = ev_abs[order2]
+
+    meta = dec.meta
+    meta.adu_interval = 10
+    meta.time_mode = TimeMode.AbsoluteT
+    path = tmp_path / "re.addec"
+    enc = Encoder.new_compressed(meta, open(path, "wb"), EncoderOptions.default(meta.plane))
+    enc.ingest_event_array(ev_abs)
+    enc.close_writer().close()
+    assert path.stat().st_size < len(events) * 9
+
+    back = open_file_decoder(str(path)).digest_all()
+    assert len(back) >= len(ev_abs) * 0.95
