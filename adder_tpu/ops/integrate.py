@@ -86,6 +86,7 @@ class TranscodeParams(NamedTuple):
     delta_t_max: int = 7650
     c_thresh_max: int = 7
     c_increase_velocity: int = 7
+    view_mode: int = 0  # FramedViewMode: 0 Intensity, 1 D, 2 DeltaT, 3 SAE
 
 
 class _S:
@@ -546,10 +547,38 @@ def integrate_interval(
     slot_d = jnp.stack([d0] + [x[0] for x in pop_slots] + [d7, d8]).astype(_i32)
     slot_t = jnp.stack([t0] + [x[1] for x in pop_slots] + [t7, t8]).astype(_u32)
     slot_m = jnp.stack([m0] + [x[2] for x in pop_slots] + [m7, m8])
-    return s.restack(), slot_d, slot_t, slot_m
+    running = _running_intensity(s, p)
+    return s.restack(), slot_d, slot_t, slot_m, running
+
+
+def _running_intensity(s: _S, p: TranscodeParams):
+    """Per-pixel display value from the root's best event
+    (ref: video.rs:713-730, scale_intensity.rs:54-109). Pixels without a
+    best event keep value 0 (caller keeps the previous frame via the mask)."""
+    bd = s.bd[0]
+    bdt = s.bdt[0]
+    has = bd >= 0
+    if p.view_mode == 1:  # D
+        pdm = np.float32(np.log2(255.0 * (p.delta_t_max / max(p.ref_time, 1))))
+        val = (bd.astype(_f32) / pdm) * 255.0
+    elif p.view_mode == 2:  # DeltaT
+        val = bdt / _f32(p.delta_t_max) * 255.0
+    elif p.view_mode == 3:  # SAE
+        val = (s.running_t - s.lft) / _f32(p.delta_t_max) * 255.0
+    else:  # Intensity: 2^d / dt * ticks-per-frame
+        dshift = _dshift_f32(bd)
+        dt = jnp.where(bdt == 0.0, _f32(1.0), bdt)
+        val = dshift / dt * _f32(p.ref_time)
+    val = jnp.clip(val, 0.0, 255.0).astype(jnp.uint8)
+    return jnp.where(has, val, 0).astype(jnp.uint8), has
 
 
 # --- chunked transcode with on-device compaction ----------------------------
+
+
+def per_interval_take(event_cap: int, n_intervals: int) -> int:
+    """Per-interval compaction prefix length for a chunk of n_intervals."""
+    return max(event_cap // max(n_intervals, 1), 1)
 
 
 def compact_slots(slot_d, slot_t, slot_m):
@@ -572,37 +601,40 @@ def compact_slots(slot_d, slot_t, slot_m):
     return out_pix, out_d, out_t, count
 
 
-def _compact_sorted(slot_d, slot_t, slot_m, offset, bufs, event_cap):
+def _compact_sorted(slot_d, slot_t, slot_m, offset, bufs, take):
     """Event compaction via stable sort (valid-first) — avoids XLA scatter,
-    which lowers to a serial loop on TPU. Event order is preserved because
-    the sort is stable over the (pixel, slot)-major flattening."""
+    which lowers to a serial loop on TPU. Only (validity, flat-index) pairs
+    are sorted; d/t/pixel are gathered for the bounded `take`-prefix. Event
+    order is preserved because the sort is stable over the (pixel,
+    slot)-major flattening. Returns n_ev > take to signal overflow."""
     K, N = slot_d.shape
     m = slot_m.T.reshape(-1)
-    d = slot_d.T.reshape(-1).astype(_i32)
-    t = slot_t.T.reshape(-1).astype(_u32)
-    pix = jnp.broadcast_to(
-        jnp.arange(N, dtype=_i32)[:, None], (N, K)
-    ).reshape(-1)
     inv = (~m).astype(jnp.uint8)
-    _, d_s, t_s, pix_s = jax.lax.sort(
-        (inv, d, t, pix), dimension=0, is_stable=True, num_keys=1
-    )
+    idx = jnp.arange(K * N, dtype=_i32)
+    _, idx_s = jax.lax.sort((inv, idx), dimension=0, is_stable=True, num_keys=1)
     n_ev = jnp.sum(m.astype(_i32))
+
+    src = idx_s[:take]
+    d_s = slot_d.T.reshape(-1)[src].astype(jnp.uint8)
+    t_s = slot_t.T.reshape(-1)[src]
+    pix_s = (src // K).astype(_i32)
+
     buf_pix, buf_d, buf_t = bufs
-    # write the sorted prefix into the chunk buffer at `offset` via
-    # dynamic-update-slice (contiguous, no scatter)
-    take = min(K * N, event_cap)
     valid = jnp.arange(take, dtype=_i32) < n_ev
-    # masked merge: read-modify-write of the target slice
+    # masked merge: read-modify-write of the target slice (contiguous DUS,
+    # no scatter)
     old_pix = jax.lax.dynamic_slice_in_dim(buf_pix, offset, take)
     old_d = jax.lax.dynamic_slice_in_dim(buf_d, offset, take)
     old_t = jax.lax.dynamic_slice_in_dim(buf_t, offset, take)
-    new_pix = jnp.where(valid, pix_s[:take], old_pix)
-    new_d = jnp.where(valid, d_s[:take], old_d)
-    new_t = jnp.where(valid, t_s[:take], old_t)
-    buf_pix = jax.lax.dynamic_update_slice_in_dim(buf_pix, new_pix, offset, 0)
-    buf_d = jax.lax.dynamic_update_slice_in_dim(buf_d, new_d, offset, 0)
-    buf_t = jax.lax.dynamic_update_slice_in_dim(buf_t, new_t, offset, 0)
+    buf_pix = jax.lax.dynamic_update_slice_in_dim(
+        buf_pix, jnp.where(valid, pix_s, old_pix), offset, 0
+    )
+    buf_d = jax.lax.dynamic_update_slice_in_dim(
+        buf_d, jnp.where(valid, d_s, old_d), offset, 0
+    )
+    buf_t = jax.lax.dynamic_update_slice_in_dim(
+        buf_t, jnp.where(valid, t_s, old_t), offset, 0
+    )
     return (buf_pix, buf_d, buf_t), offset + n_ev, n_ev
 
 
@@ -615,32 +647,41 @@ def make_transcode_chunk(p: TranscodeParams, event_cap: int):
     (ref: video.rs:651-778): the "chunk" is the whole plane; event order is
     the single-thread order.
 
-    Returned fn: (state, intensities (T, N) f32, frame_vals (T, N) i32,
-    time f32) -> (state, ev_pix, ev_d, ev_t, total, interval_counts (T,)).
-    `total` > event_cap signals overflow (events beyond cap were dropped;
-    caller should re-run the chunk from the checkpointed state with a larger
-    cap)."""
+    Returned fn: (state, frames (T, N) uint8, time f32, run0 (N,) uint8) ->
+    (state, ev_pix i32, ev_d u8, ev_t u32, total, interval_counts (T,),
+    runnings (T, N) u8). Frames ship host->device as 1 byte/pixel; intensity
+    and contrast values derive on device (framed sources have intensity ==
+    frame value). Overflow (events dropped; caller must re-run the chunk
+    from the checkpointed state with a larger cap) is signaled by `total` >
+    event_cap OR any interval_counts[i] exceeding
+    per_interval_take(event_cap, T)."""
 
-    def chunk_fn(state, intensities, frame_vals, time):
-        def step(carry, inp):
-            st, bufs, offset = carry
-            intensity, fv = inp
-            st, sd, stt, sm = integrate_interval(st, intensity, fv, time, p)
-            bufs, offset, n_ev = _compact_sorted(
-                sd, stt, sm, offset, bufs, event_cap
+    def chunk_fn(state, frames, time, run0):
+        T = frames.shape[0]
+        take = per_interval_take(event_cap, T)
+
+        def step(carry, frame_u8):
+            st, bufs, offset, run = carry
+            intensity = frame_u8.astype(_f32)
+            fv = frame_u8.astype(_i32)
+            st, sd, stt, sm, (rval, rhas) = integrate_interval(
+                st, intensity, fv, time, p
             )
-            return (st, bufs, offset), n_ev
+            run = jnp.where(rhas, rval, run)
+            take_i = min(take, sd.shape[0] * sd.shape[1])
+            bufs, offset, n_ev = _compact_sorted(
+                sd, stt, sm, offset, bufs, take_i
+            )
+            return (st, bufs, offset, run), (n_ev, run)
 
         bufs = (
             jnp.full((event_cap,), -1, _i32),
-            jnp.zeros((event_cap,), _i32),
+            jnp.zeros((event_cap,), jnp.uint8),
             jnp.zeros((event_cap,), _u32),
         )
-        (state, bufs, total), per_interval = jax.lax.scan(
-            step,
-            (state, bufs, jnp.zeros((), _i32)),
-            (intensities, frame_vals),
+        (state, bufs, total, _), (per_interval, runnings) = jax.lax.scan(
+            step, (state, bufs, jnp.zeros((), _i32), run0), frames
         )
-        return state, bufs[0], bufs[1], bufs[2], total, per_interval
+        return state, bufs[0], bufs[1], bufs[2], total, per_interval, runnings
 
     return jax.jit(chunk_fn)

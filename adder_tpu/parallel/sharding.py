@@ -60,14 +60,15 @@ def make_transcode_chunk_sharded(
     is replicated (it is the serialization boundary)."""
     st_shard = state_sharding(mesh, axis_name)
     frames_shard = NamedSharding(mesh, P(None, axis_name))
+    flat_shard = NamedSharding(mesh, P(axis_name))
     rep = NamedSharding(mesh, P())
 
-    def chunk_fn(state, intensities, frame_vals, time):
+    def chunk_fn(state, frames, time, run0):
         inner = ops.make_transcode_chunk(p, event_cap)
-        return inner(state, intensities, frame_vals, time)
+        return inner(state, frames, time, run0)
 
     return jax.jit(
         chunk_fn,
-        in_shardings=(st_shard, frames_shard, frames_shard, rep),
-        out_shardings=(st_shard, rep, rep, rep, rep, rep),
+        in_shardings=(st_shard, frames_shard, rep, flat_shard),
+        out_shardings=(st_shard, rep, rep, rep, rep, rep, frames_shard),
     )

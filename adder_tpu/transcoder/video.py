@@ -92,6 +92,14 @@ class Video:
         self._cap_mult = 2  # event capacity = _cap_mult * N * T per chunk
         self._pending_frames: list[np.ndarray] = []
         self.running_intensities = np.zeros(plane.shape, dtype=np.uint8)
+        self._last_runnings = None
+        self._keep_running_frame = False  # set True to always sync display
+        self.instantaneous_view_mode = 0  # FramedViewMode.Intensity
+        self.show_features = 0  # ShowFeatureMode.Off
+        self.feature_rate_adjustment = False
+        self.feature_cluster = False
+        self.features: set = set()  # persistent feature coords (x, y)
+        self.display_frame_features = np.zeros(plane.shape, dtype=np.uint8)
 
     # -- builder methods (ref: video.rs:271-317 VideoBuilder) --
 
@@ -299,10 +307,10 @@ class Video:
         self._apply_roi()
         self.in_interval_count += T
 
-        intens = jnp.asarray(flat.astype(np.float32))
-        fvals = jnp.asarray(flat.astype(np.int32))
+        frames_u8 = jnp.asarray(flat.astype(np.uint8))
         t = jnp.float32(time_spanned)
 
+        run0 = jnp.asarray(self.running_intensities.reshape(-1))
         while True:
             # cap quantized to power-of-two multiples of N so the jit cache
             # stays warm across chunks; K_SLOTS*N*T is an exact upper bound,
@@ -312,21 +320,156 @@ class Video:
                 mult = ops.K_SLOTS
             cap = mult * self.n * T
             fn = self._chunk_fn(cap)
-            new_state, pix, d, tt, total, per_int = fn(
-                self.state, intens, fvals, t
+            new_state, pix, d, tt, total, per_int, runnings = fn(
+                self.state, frames_u8, t, run0
             )
             total_i = int(total)
-            if total_i <= cap or mult >= ops.K_SLOTS:
+            take = ops.per_interval_take(cap, T)
+            overflowed = total_i > cap or int(np.max(np.asarray(per_int))) > min(
+                take, ops.K_SLOTS * self.n
+            )
+            if not overflowed or mult >= ops.K_SLOTS:
                 break
             self._cap_mult *= 2  # overflow: rerun from untouched pre-chunk state
         self.state = new_state
+        self._last_runnings = runnings  # (T, N) u8, fetched lazily on demand
+        if self.feature_detection or self._keep_running_frame:
+            self.running_intensities = np.asarray(runnings[-1]).reshape(
+                self.plane.shape
+            )
 
         pix = np.asarray(pix[:total_i])
         d = np.asarray(d[:total_i]).astype(np.uint8)
         tt = np.asarray(tt[:total_i])
         events = self._events_from_flat(pix, d, tt)
         self.encoder.ingest_event_array(events)
+        if self.feature_detection:
+            self._handle_features(events, np.asarray(per_int), np.asarray(runnings))
         return events
+
+    # -- feature pipeline (ref: video.rs:883-1227) --
+
+    def update_detect_features(
+        self,
+        detect_features: bool,
+        show_features=0,
+        feature_rate_adjustment: bool = False,
+        feature_cluster: bool = False,
+    ) -> None:
+        self.feature_detection = detect_features
+        self.show_features = show_features
+        self.feature_rate_adjustment = feature_rate_adjustment
+        self.feature_cluster = feature_cluster
+
+    def _handle_features(self, events, per_int, runnings) -> None:
+        """Per-interval FAST feature maintenance over the event coordinates
+        (ref: video.rs:883-1112). Uses the dense whole-plane FAST mask
+        instead of per-coordinate checks."""
+        from ..utils.cv import fast_mask
+        from ..utils.viz import ShowFeatureMode, draw_feature_coord
+
+        H, W = self.plane.height, self.plane.width
+        offsets = np.concatenate([[0], np.cumsum(per_int)])
+        self.display_frame_features = self.running_intensities.copy()
+        new_features: list = []
+        for i in range(len(per_int)):
+            sl = slice(int(offsets[i]), int(offsets[i + 1]))
+            if sl.start == sl.stop:
+                continue
+            xs, ys, cs, ds = events.x[sl], events.y[sl], events.c[sl], events.d[sl]
+            # candidate rule: channel 0/None, non-empty d, coord differs from
+            # the circularly-next event's coord (ref: video.rs:900-917)
+            nxt_x = np.roll(xs, -1)
+            nxt_y = np.roll(ys, -1)
+            cand = (
+                ((cs == NO_CHANNEL) | (cs == 0))
+                & (ds != 255)
+                & ((xs != nxt_x) | (ys != nxt_y))
+            )
+            if not cand.any():
+                continue
+            frame = runnings[i].reshape(H, W, self.plane.channels)
+            mask = fast_mask(frame)
+            cx, cy = xs[cand], ys[cand]
+            is_f = mask[cy, cx]
+            for x, y, f in zip(cx[is_f], cy[is_f], np.ones(int(is_f.sum()))):
+                if (int(x), int(y)) not in self.features:
+                    self.features.add((int(x), int(y)))
+                    new_features.append((int(x), int(y)))
+            for x, y in zip(cx[~is_f], cy[~is_f]):
+                self.features.discard((int(x), int(y)))
+
+        params = self.encoder.options.crf.get_parameters()
+        if self.show_features == ShowFeatureMode.Hold:
+            for (x, y) in self.features:
+                draw_feature_coord(
+                    x, y, self.display_frame_features, self.plane.channels != 1
+                )
+        for (x, y) in set(new_features):
+            if self.show_features == ShowFeatureMode.Instant:
+                draw_feature_coord(
+                    x, y, self.display_frame_features, self.plane.channels != 1
+                )
+            if self.feature_rate_adjustment and params.feature_c_radius > 0:
+                r = params.feature_c_radius
+                lo_y, hi_y = max(y - r, 0), min(y + r, H - 1)
+                lo_x, hi_x = max(x - r, 0), min(x + r, W - 1)
+                c = np.array(self.state.c_thresh).reshape(self.plane.shape[:2] + (-1,))
+                c[lo_y : hi_y + 1, lo_x : hi_x + 1, :] = min(
+                    params.c_thresh_baseline, 2
+                )
+                self.state = self.state._replace(
+                    c_thresh=jnp.asarray(c.reshape(-1))
+                )
+        if self.feature_cluster and new_features:
+            self.cluster(set(new_features))
+
+    def cluster(self, points_set: set) -> list:
+        """DBSCAN over feature coordinates; returns bounding boxes
+        (ref: video.rs:1114-1227: eps = min_resolution/3, min_pts = 3)."""
+        from ..utils.viz import draw_rect
+
+        points = np.array(sorted(points_set), dtype=np.float32)
+        if len(points) < 3:
+            return []
+        eps2 = (self.plane.min_resolution() / 3.0) ** 2
+        min_pts = 3
+        d2 = ((points[:, None, :] - points[None, :, :]) ** 2).sum(-1)
+        neighbors = [np.flatnonzero(d2[i] <= eps2) for i in range(len(points))]
+        visited = np.zeros(len(points), dtype=bool)
+        clusters = []
+        for i in range(len(points)):
+            if visited[i]:
+                continue
+            visited[i] = True
+            if len(neighbors[i]) < min_pts:
+                continue
+            cluster = {i}
+            frontier = list(neighbors[i])
+            k = 0
+            while k < len(frontier):
+                j = frontier[k]
+                if not visited[j]:
+                    visited[j] = True
+                    if len(neighbors[j]) >= min_pts:
+                        frontier.extend(
+                            n for n in neighbors[j] if n not in cluster
+                        )
+                cluster.add(j)
+                k += 1
+            clusters.append(cluster)
+        bboxes = []
+        for cluster in clusters:
+            pts = points[list(cluster)]
+            min_x, min_y = pts.min(axis=0).astype(int)
+            max_x, max_y = pts.max(axis=0).astype(int)
+            if (max_x - min_x) * (max_y - min_y) < self.plane.area_wh() // 4:
+                bboxes.append((int(min_x), int(min_y), int(max_x), int(max_y)))
+                draw_rect(
+                    int(min_x), int(min_y), int(max_x), int(max_y),
+                    self.display_frame_features, self.plane.channels != 1,
+                )
+        return bboxes
 
     def _events_from_flat(self, pix, d, t) -> EventArray:
         C = self.plane.channels

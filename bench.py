@@ -27,19 +27,27 @@ def main():
     n_chunks = 6
     rng = np.random.default_rng(7)
 
-    # moving-gradient synthetic video: realistic mix of stable pixels and
-    # contrast changes (~5-15% of pixels firing per frame)
+    # synthetic video with realistic activity: static textured background
+    # with several moving bright blobs (~5-10% of pixels change per frame)
     x = np.arange(W, dtype=np.float32)[None, :]
     y = np.arange(H, dtype=np.float32)[:, None]
+    background = (
+        128 + 60 * np.sin(x / 97.0) + 30 * np.cos(y / 53.0)
+    ).astype(np.float32)
     frames = np.zeros((T * n_chunks, H, W), dtype=np.uint8)
+    n_blobs = 6
+    cx0 = rng.uniform(0, W, n_blobs)
+    cy0 = rng.uniform(0, H, n_blobs)
+    vx = rng.uniform(-25, 25, n_blobs)
+    vy = rng.uniform(-15, 15, n_blobs)
     for t in range(T * n_chunks):
-        img = (
-            128
-            + 80 * np.sin(x / 97.0 + t * 0.35)
-            + 40 * np.cos(y / 53.0 - t * 0.21)
-        )
-        noise = rng.integers(-2, 3, (H, W))
-        frames[t] = np.clip(img + noise, 0, 255).astype(np.uint8)
+        img = background.copy()
+        for b in range(n_blobs):
+            cx = (cx0[b] + vx[b] * t) % W
+            cy = (cy0[b] + vy[b] * t) % H
+            r2 = (x - cx) ** 2 + (y - cy) ** 2
+            img += 90.0 * np.exp(-r2 / (2 * 60.0**2))
+        frames[t] = np.clip(img, 0, 255).astype(np.uint8)
 
     src = FramedArray(frames, source_fps=24.0, chunk_frames=T)
     src.auto_time_parameters(255, 255 * 4, TimeMode.AbsoluteT)

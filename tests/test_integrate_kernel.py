@@ -58,10 +58,10 @@ def run_kernel(frames, params: K.TranscodeParams, c_thresh0, init_frame=None):
     if init_frame is not None:
         state = K.set_initial_d(state, jax.numpy.asarray(init_frame))
     fn = K.make_transcode_chunk(params, event_cap=T * N * K.K_SLOTS)
-    intens = jax.numpy.asarray(frames, jax.numpy.float32)
-    fvals = jax.numpy.asarray(frames, jax.numpy.int32)
-    state, pix, d, t, total, per_int = fn(
-        state, intens, fvals, jax.numpy.float32(params.ref_time)
+    fr = jax.numpy.asarray(frames, jax.numpy.uint8)
+    run0 = jax.numpy.zeros((N,), jax.numpy.uint8)
+    state, pix, d, t, total, per_int, runnings = fn(
+        state, fr, jax.numpy.float32(params.ref_time), run0
     )
     total = int(total)
     assert int(state.overflow) == 0
