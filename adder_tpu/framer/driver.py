@@ -60,6 +60,9 @@ class FramerBuilder:
     detect_features: bool = False
     buffer_limit: Optional[int] = None
     out_dtype: type = np.uint8
+    # EventCoordless output (ref: FrameValue for EventCoordless,
+    # scale_intensity.rs:32-52): frames carry (d, t) packed into u64
+    coordless: bool = False
 
     def time_parameters(self, tps, ref_interval, delta_t_max, output_fps=None):
         self.tps = tps
@@ -94,6 +97,17 @@ class _Frame:
         return int(self.filled.sum())
 
 
+class FeatureInterval:
+    """Features binned to the output frame they were detected in
+    (ref: driver.rs:253-257)."""
+
+    __slots__ = ("end_ts", "features")
+
+    def __init__(self, end_ts: int):
+        self.end_ts = end_ts
+        self.features: list = []
+
+
 class FrameSequence:
     """Reconstructs instantaneous frames from an ADDER event stream.
 
@@ -114,7 +128,8 @@ class FrameSequence:
         self.ref_interval = b.ref_interval
         self.delta_t_max = b.delta_t_max
         self.buffer_limit = b.buffer_limit
-        self.out_dtype = np.dtype(b.out_dtype)
+        self.coordless = b.coordless
+        self.out_dtype = np.dtype(np.uint64 if b.coordless else b.out_dtype)
         self.tps = b.tps
         # ticks per output frame (ref: driver.rs:356-360)
         self.tpf = (
@@ -141,6 +156,9 @@ class FrameSequence:
             self.delta_t_max,
             self.ref_interval,
         )
+        self.detect_features = b.detect_features
+        self.features: list = []  # FeatureInterval deque (ref: driver.rs:272)
+        self.running_intensities = np.zeros(self.plane.shape, dtype=np.uint8)
 
     # -- helpers --
 
@@ -224,7 +242,12 @@ class FrameSequence:
         # D_EMPTY repeats the previous one (driver.rs:1017-1043)
         compute = fires & (d != D_EMPTY)
         vals = np.zeros(len(pix), dtype=self.out_dtype)
-        if compute.any():
+        if compute.any() and self.coordless:
+            # EventCoordless passthrough: pack (d, delta-t) into u64
+            vals[compute] = (
+                d[compute].astype(np.uint64) << 32
+            ) | dt_for_value[compute].astype(np.uint64)
+        elif compute.any():
             if self.view_mode == FramedViewMode.SAE:
                 dt_v = t if self._absolute else dt_for_value
                 vals[compute] = get_frame_values(
@@ -308,7 +331,46 @@ class FrameSequence:
             f0 = self._ensure_frame(self.frames_written)
             f0.filled[:] = True
 
+        # in-framer feature detection binned by output frame
+        # (ref: driver.rs:482-553)
+        if self.detect_features and fires.any():
+            from ..utils.cv import fast_mask
+
+            self.running_intensities.reshape(-1)[pix[fires]] = fill_vals[fires]
+            mask = fast_mask(self.running_intensities)
+            fx = (pix[fires] // self.plane.channels) % self.plane.width
+            fy = (pix[fires] // self.plane.channels) // self.plane.width
+            is_f = mask[fy, fx]
+            for xx, yy, tt in zip(fx[is_f], fy[is_f], t[fires][is_f]):
+                idx = max(
+                    int(tt) // self.tpf - self.frames_written, 0
+                )
+                if int(tt) % self.tpf == 0 and idx > 0:
+                    idx -= 1
+                while idx >= len(self.features):
+                    end = (
+                        self.features[-1].end_ts + self.tpf
+                        if self.features
+                        else self.tpf * (len(self.features) + 1)
+                    )
+                    self.features.append(FeatureInterval(end))
+                self.features[idx].features.append((int(xx), int(yy)))
+
         return self.is_frame_0_filled()
+
+    def pop_features(self):
+        """Pop the oldest feature interval (ref: driver.rs:851-873)."""
+        if not self.features:
+            self.features.append(FeatureInterval(self.tpf))
+            self.features.append(FeatureInterval(self.tpf * 2))
+        else:
+            self.features.append(
+                FeatureInterval(self.features[-1].end_ts + self.tpf)
+            )
+        return self.features.pop(0)
+
+    def get_running_intensities(self) -> np.ndarray:
+        return self.running_intensities
 
     def ingest_event(self, event) -> bool:
         return self.ingest_event_array(EventArray.from_events([event]))
@@ -371,6 +433,11 @@ class FrameSequence:
             self.write_frame_bytes(writer)
             count += 1
         return count
+
+
+def unpack_coordless(arr: np.ndarray):
+    """Split packed u64 EventCoordless frames into (d, delta_t) arrays."""
+    return (arr >> 32).astype(np.uint8), (arr & 0xFFFFFFFF).astype(np.uint32)
 
 
 # --- segmented scan helpers --------------------------------------------------

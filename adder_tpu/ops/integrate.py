@@ -41,12 +41,13 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..core.types import Mode, PixelMultiMode, TimeMode
+from . import numerics
 from .numerics import exact_div
 
 DEPTH = 8  # reference SmallVec inline capacity is 6 but can heap-grow
 K_SLOTS = DEPTH + 3  # pop_top, DEPTH pop_best nodes, set_d filler, pop_top
 
-F32_EPSILON = np.float32(1.1920929e-07)
+F32_EPSILON = float(np.float32(1.1920929e-07))
 D_MAX = 127
 D_ZERO_INTEGRATION = 128
 D_EMPTY = 255
@@ -199,8 +200,27 @@ def _dshift_f32(d: jax.Array) -> jax.Array:
     return jnp.where(d >= 128, _f32(0.0), pow2)
 
 
+# Backend shims: Mosaic (Pallas TPU) lacks optimization_barrier and the
+# f32->u32 cast; inside kernels we fence FMA contraction with a bitcast
+# round-trip and cast through i32 (timestamps < 2^31, the compressed codec's
+# own assumption — see event_cube.rs debug_assert t < 2^31).
+def _fence(x: jax.Array) -> jax.Array:
+    return numerics.barrier(x)
+
+
+def _u32_to_f32(x: jax.Array) -> jax.Array:
+    """u32 -> f32 (values < 2^31; Mosaic lacks the direct cast)."""
+    if numerics.IN_PALLAS:
+        return jax.lax.bitcast_convert_type(x, _i32).astype(_f32)
+    return x.astype(_f32)
+
+
 def _as_u32(x: jax.Array) -> jax.Array:
     """Rust `f32 as u32`: truncate toward zero, saturating, NaN -> 0."""
+    if numerics.IN_PALLAS:
+        x = jnp.nan_to_num(x, nan=0.0, posinf=2147483520.0, neginf=0.0)
+        x = jnp.clip(x, 0.0, 2147483520.0)  # largest f32 below 2^31
+        return jax.lax.bitcast_convert_type(x.astype(_i32), _u32)
     x = jnp.nan_to_num(x, nan=0.0, posinf=4294967295.0, neginf=0.0)
     x = jnp.clip(x, 0.0, 4294967295.0)
     return x.astype(_u32)
@@ -219,7 +239,7 @@ def _emit_abs(lft, dt_f32, p: TranscodeParams):
         lf_u = _as_u32(dtt)
         ref = _u32(p.ref_time)
         rounded = jnp.where(lf_u % ref == 0, lf_u, (lf_u // ref + 1) * ref)
-        new_lft = rounded.astype(_f32)
+        new_lft = _u32_to_f32(rounded)
     return _as_u32(dtt), new_lft
 
 
@@ -279,8 +299,8 @@ def _pop_top_event(s: _S, next_i, mask, p: TranscodeParams):
     s.length = jnp.where(
         ms, 1, jnp.where(mask & has_best, s.length - 1, s.length)
     )
-    s.need_pop = jnp.where(mask, False, s.need_pop)
-    s.popped_dtm = jnp.where(mask, True, s.popped_dtm)
+    s.need_pop = s.need_pop & ~mask
+    s.popped_dtm = s.popped_dtm | mask
     return ev_d, t, mask
 
 
@@ -357,9 +377,9 @@ def _pop_best_events(s: _S, intensity, mask, p: TranscodeParams):
     s.bd[0] = jnp.where(mask, -1, s.bd[0])
 
     s.length = jnp.where(mask, 1, s.length)
-    s.need_pop = jnp.where(mask, False, s.need_pop)
-    s.dtm_reached = jnp.where(mask, False, s.dtm_reached)
-    s.popped_dtm = jnp.where(mask, False, s.popped_dtm)
+    s.need_pop = s.need_pop & ~mask
+    s.dtm_reached = s.dtm_reached & ~mask
+    s.popped_dtm = s.popped_dtm & ~mask
     return slots
 
 
@@ -423,8 +443,8 @@ def _integrate(s: _S, intensity, time, p: TranscodeParams):
         # barrier: force separate f32 rounding of the products (the reference
         # rounds `time * prop` before adding; XLA would otherwise fuse into
         # an FMA and shift event timestamps by 1 tick)
-        t_prop = jax.lax.optimization_barrier((t_cur * prop).astype(_f32))
-        i_prop = jax.lax.optimization_barrier((i_cur * prop).astype(_f32))
+        t_prop = _fence((t_cur * prop).astype(_f32))
+        i_prop = _fence((i_cur * prop).astype(_f32))
         fired_best_dt = (dt + t_prop).astype(_f32)
 
         # D bump for continued integration (ref: :449-461)
@@ -516,8 +536,19 @@ def integrate_interval(
 
     Returns (state, slot_d (K, N) int32, slot_t (K, N) uint32,
     slot_mask (K, N) bool)."""
-    intensity = intensity.astype(_f32)
     s = _S.unstack(state)
+    slots, running = _interval_core(s, intensity, frame_val, time, p)
+    slot_d = jnp.stack([x[0] for x in slots]).astype(_i32)
+    slot_t = jnp.stack([x[1] for x in slots]).astype(_u32)
+    slot_m = jnp.stack([x[2] for x in slots])
+    return s.restack(), slot_d, slot_t, slot_m, running
+
+
+def _interval_core(s: _S, intensity, frame_val, time, p: TranscodeParams):
+    """The interval logic on an unstacked state; shared by the XLA path and
+    the Pallas kernel (ops/pallas_kernel.py). Mutates `s`; returns
+    (K_SLOTS list of (d, t, mask), (running_val, running_has))."""
+    intensity = intensity.astype(_f32)
 
     # 1. pre-integration pop_top
     d0, t0, m0 = _pop_top_event(s, intensity, s.need_pop, p)
@@ -544,11 +575,9 @@ def integrate_interval(
     # 4. post-integration pop_top
     d8, t8, m8 = _pop_top_event(s, intensity, s.need_pop, p)
 
-    slot_d = jnp.stack([d0] + [x[0] for x in pop_slots] + [d7, d8]).astype(_i32)
-    slot_t = jnp.stack([t0] + [x[1] for x in pop_slots] + [t7, t8]).astype(_u32)
-    slot_m = jnp.stack([m0] + [x[2] for x in pop_slots] + [m7, m8])
+    slots = [(d0, t0, m0)] + list(pop_slots) + [(d7, t7, m7), (d8, t8, m8)]
     running = _running_intensity(s, p)
-    return s.restack(), slot_d, slot_t, slot_m, running
+    return slots, running
 
 
 def _running_intensity(s: _S, p: TranscodeParams):
@@ -559,7 +588,7 @@ def _running_intensity(s: _S, p: TranscodeParams):
     bdt = s.bdt[0]
     has = bd >= 0
     if p.view_mode == 1:  # D
-        pdm = np.float32(np.log2(255.0 * (p.delta_t_max / max(p.ref_time, 1))))
+        pdm = float(np.float32(np.log2(255.0 * (p.delta_t_max / max(p.ref_time, 1)))))
         val = (bd.astype(_f32) / pdm) * 255.0
     elif p.view_mode == 2:  # DeltaT
         val = bdt / _f32(p.delta_t_max) * 255.0
@@ -569,7 +598,8 @@ def _running_intensity(s: _S, p: TranscodeParams):
         dshift = _dshift_f32(bd)
         dt = jnp.where(bdt == 0.0, _f32(1.0), bdt)
         val = dshift / dt * _f32(p.ref_time)
-    val = jnp.clip(val, 0.0, 255.0).astype(jnp.uint8)
+    # cast via i32: Mosaic lacks direct f32<->u8 conversions
+    val = jnp.clip(val, 0.0, 255.0).astype(_i32)
     return jnp.where(has, val, 0).astype(jnp.uint8), has
 
 
@@ -601,6 +631,27 @@ def compact_slots(slot_d, slot_t, slot_m):
     return out_pix, out_d, out_t, count
 
 
+def _pack_slots(slot_d, slot_t, slot_m, pack: int):
+    """Left-pack each pixel's K slots into `pack` lanes (order-preserving,
+    pure selects — no gathers). Returns packed (pack, N) arrays plus the
+    per-pixel event count; counts > pack mean events were dropped (the
+    caller re-runs with the unpacked graph)."""
+    K, N = slot_d.shape
+    pd = [jnp.zeros((N,), slot_d.dtype) for _ in range(pack)]
+    pt = [jnp.zeros((N,), slot_t.dtype) for _ in range(pack)]
+    pm = [jnp.zeros((N,), jnp.bool_) for _ in range(pack)]
+    cnt = jnp.zeros((N,), _i32)
+    for k in range(K):
+        mk = slot_m[k]
+        for j in range(pack):
+            place = mk & (cnt == j)
+            pd[j] = jnp.where(place, slot_d[k], pd[j])
+            pt[j] = jnp.where(place, slot_t[k], pt[j])
+            pm[j] = pm[j] | place
+        cnt = cnt + mk.astype(_i32)
+    return jnp.stack(pd), jnp.stack(pt), jnp.stack(pm), cnt
+
+
 def _compact_sorted(slot_d, slot_t, slot_m, offset, bufs, take):
     """Event compaction via stable sort (valid-first) — avoids XLA scatter,
     which lowers to a serial loop on TPU. Only (validity, flat-index) pairs
@@ -615,31 +666,35 @@ def _compact_sorted(slot_d, slot_t, slot_m, offset, bufs, take):
     n_ev = jnp.sum(m.astype(_i32))
 
     src = idx_s[:take]
-    d_s = slot_d.T.reshape(-1)[src].astype(jnp.uint8)
+    d_s = slot_d.T.reshape(-1)[src]
     t_s = slot_t.T.reshape(-1)[src]
     pix_s = (src // K).astype(_i32)
+    # wire-packed event: (pix << 8 | d) in u32 — halves the pix+d transfer
+    pixd_s = ((pix_s.astype(_u32) << 8) | (d_s.astype(_u32) & 0xFF))
 
-    buf_pix, buf_d, buf_t = bufs
+    buf_pixd, buf_t = bufs
     valid = jnp.arange(take, dtype=_i32) < n_ev
     # masked merge: read-modify-write of the target slice (contiguous DUS,
     # no scatter)
-    old_pix = jax.lax.dynamic_slice_in_dim(buf_pix, offset, take)
-    old_d = jax.lax.dynamic_slice_in_dim(buf_d, offset, take)
+    old_pixd = jax.lax.dynamic_slice_in_dim(buf_pixd, offset, take)
     old_t = jax.lax.dynamic_slice_in_dim(buf_t, offset, take)
-    buf_pix = jax.lax.dynamic_update_slice_in_dim(
-        buf_pix, jnp.where(valid, pix_s, old_pix), offset, 0
-    )
-    buf_d = jax.lax.dynamic_update_slice_in_dim(
-        buf_d, jnp.where(valid, d_s, old_d), offset, 0
+    buf_pixd = jax.lax.dynamic_update_slice_in_dim(
+        buf_pixd, jnp.where(valid, pixd_s, old_pixd), offset, 0
     )
     buf_t = jax.lax.dynamic_update_slice_in_dim(
         buf_t, jnp.where(valid, t_s, old_t), offset, 0
     )
-    return (buf_pix, buf_d, buf_t), offset + n_ev, n_ev
+    return (buf_pixd, buf_t), offset + n_ev, n_ev
 
 
 @functools.lru_cache(maxsize=64)
-def make_transcode_chunk(p: TranscodeParams, event_cap: int):
+def make_transcode_chunk(
+    p: TranscodeParams,
+    event_cap: int,
+    pack: int = 4,
+    pallas_block: int = 0,
+    n_real: int = 0,
+):
     """Build a jittable function scanning T frames through the integrator,
     compacting events into a bounded (event_cap,) buffer on device.
 
@@ -648,40 +703,78 @@ def make_transcode_chunk(p: TranscodeParams, event_cap: int):
     the single-thread order.
 
     Returned fn: (state, frames (T, N) uint8, time f32, run0 (N,) uint8) ->
-    (state, ev_pix i32, ev_d u8, ev_t u32, total, interval_counts (T,),
-    runnings (T, N) u8). Frames ship host->device as 1 byte/pixel; intensity
-    and contrast values derive on device (framed sources have intensity ==
-    frame value). Overflow (events dropped; caller must re-run the chunk
-    from the checkpointed state with a larger cap) is signaled by `total` >
-    event_cap OR any interval_counts[i] exceeding
-    per_interval_take(event_cap, T)."""
+    (state, ev_pixd u32 (pix<<8|d), ev_t u32, ev_t16 u16, t_base u32,
+    t16_ok bool, total, interval_counts (T,), runnings (T, N) u8).
+
+    Frames ship host->device as 1 byte/pixel; intensity and contrast values
+    derive on device (framed sources have intensity == frame value). Events
+    come back wire-packed: pix+d fused into one u32, and — when the chunk's
+    timestamp span fits 16 bits (t16_ok) — t as u16 offsets from t_base,
+    i.e. 6 bytes/event over the host link instead of 9.
+
+    Overflow (events dropped; caller must re-run the chunk from the
+    checkpointed state with a larger cap) is signaled by `total` > event_cap
+    OR any interval_counts[i] exceeding per_interval_take(event_cap, T)."""
 
     def chunk_fn(state, frames, time, run0):
         T = frames.shape[0]
         take = per_interval_take(event_cap, T)
 
         def step(carry, frame_u8):
-            st, bufs, offset, run = carry
-            intensity = frame_u8.astype(_f32)
-            fv = frame_u8.astype(_i32)
-            st, sd, stt, sm, (rval, rhas) = integrate_interval(
-                st, intensity, fv, time, p
-            )
+            st, bufs, offset, max_cnt, run = carry
+            if pallas_block:
+                # VMEM-resident interval kernel (bit-identical to the XLA
+                # path; see ops/pallas_kernel.py)
+                from . import pallas_kernel
+
+                pstep = pallas_kernel.make_interval_pallas(
+                    p, frame_u8.shape[0], pallas_block
+                )
+                st, sd, stt, sm, (rval, rhas) = pstep(st, frame_u8, time)
+            else:
+                intensity = frame_u8.astype(_f32)
+                fv = frame_u8.astype(_i32)
+                st, sd, stt, sm, (rval, rhas) = integrate_interval(
+                    st, intensity, fv, time, p
+                )
+            if n_real and n_real < sd.shape[1]:
+                # padded plane: suppress events from pad pixels
+                sm = sm & (
+                    jax.lax.broadcasted_iota(_i32, sm.shape, 1) < n_real
+                )
             run = jnp.where(rhas, rval, run)
+            if 0 < pack < K_SLOTS:
+                # shrink the sorted volume K -> pack lanes per pixel; the
+                # rare pixel with > pack events raises max_cnt and the
+                # caller re-runs this chunk with the unpacked graph
+                sd, stt, sm, cnt = _pack_slots(sd, stt, sm, pack)
+                max_cnt = jnp.maximum(max_cnt, jnp.max(cnt))
             take_i = min(take, sd.shape[0] * sd.shape[1])
             bufs, offset, n_ev = _compact_sorted(
                 sd, stt, sm, offset, bufs, take_i
             )
-            return (st, bufs, offset, run), (n_ev, run)
+            return (st, bufs, offset, max_cnt, run), (n_ev, run)
 
         bufs = (
-            jnp.full((event_cap,), -1, _i32),
-            jnp.zeros((event_cap,), jnp.uint8),
-            jnp.zeros((event_cap,), _u32),
+            jnp.zeros((event_cap,), _u32),  # pix<<8 | d
+            jnp.zeros((event_cap,), _u32),  # t
         )
-        (state, bufs, total, _), (per_interval, runnings) = jax.lax.scan(
-            step, (state, bufs, jnp.zeros((), _i32), run0), frames
+        (state, bufs, total, max_cnt, _), (per_interval, runnings) = jax.lax.scan(
+            step,
+            (state, bufs, jnp.zeros((), _i32), jnp.zeros((), _i32), run0),
+            frames,
         )
-        return state, bufs[0], bufs[1], bufs[2], total, per_interval, runnings
+        buf_pixd, buf_t = bufs
+        # 16-bit timestamp compression for the host link
+        valid = jnp.arange(event_cap, dtype=_i32) < total
+        t_base = jnp.min(jnp.where(valid, buf_t, jnp.uint32(0xFFFFFFFF)))
+        t_base = jnp.where(total > 0, t_base, 0)
+        t_max = jnp.max(jnp.where(valid, buf_t, 0))
+        t16_ok = (t_max - t_base) < (1 << 16)
+        buf_t16 = (buf_t - t_base).astype(jnp.uint16)
+        return (
+            state, buf_pixd, buf_t, buf_t16, t_base, t16_ok, total,
+            per_interval, runnings, max_cnt,
+        )
 
     return jax.jit(chunk_fn)

@@ -20,7 +20,19 @@ import jax
 import jax.numpy as jnp
 
 _f32 = jnp.float32
-_SPLIT = jnp.float32(4097.0)  # 2^12 + 1, Veltkamp split constant for f32
+_SPLIT = 4097.0  # 2^12 + 1, Veltkamp split constant (exact in f32)
+
+# Mosaic (Pallas TPU) has no optimization_barrier; a bitcast round-trip
+# serves as the anti-fusion fence inside kernels. ops.integrate toggles this.
+IN_PALLAS = False
+
+
+def barrier(x):
+    if IN_PALLAS:
+        return jax.lax.bitcast_convert_type(
+            jax.lax.bitcast_convert_type(x, jnp.int32), _f32
+        )
+    return jax.lax.optimization_barrier(x)
 
 
 def _two_product(x, y):
@@ -63,7 +75,7 @@ def exact_div(a, b):
     """
     a = a.astype(_f32)
     b = b.astype(_f32)
-    q0 = jax.lax.optimization_barrier((a / b).astype(_f32))
+    q0 = barrier((a / b).astype(_f32))
 
     sign_bits = (
         jax.lax.bitcast_convert_type(a, jnp.int32)
@@ -75,7 +87,7 @@ def exact_div(a, b):
     eb = _exponent(b)
     ma = (a * _pow2(-ea)).astype(_f32)  # in [1, 2)
     mb = (b * _pow2(-eb)).astype(_f32)
-    qm = jax.lax.optimization_barrier((ma / mb).astype(_f32))
+    qm = barrier((ma / mb).astype(_f32))
     qm = _refine(qm, ma, mb)  # now faithful (< 1 ulp)
 
     # round-to-nearest correction: compare residuals of qm and its neighbor

@@ -64,11 +64,22 @@ def make_transcode_chunk_sharded(
     rep = NamedSharding(mesh, P())
 
     def chunk_fn(state, frames, time, run0):
-        inner = ops.make_transcode_chunk(p, event_cap)
+        inner = ops.make_transcode_chunk(p, event_cap, ops.K_SLOTS)
         return inner(state, frames, time, run0)
 
     return jax.jit(
         chunk_fn,
         in_shardings=(st_shard, frames_shard, rep, flat_shard),
-        out_shardings=(st_shard, rep, rep, rep, rep, rep, frames_shard),
+        out_shardings=(
+            st_shard,  # state
+            rep,  # ev pix<<8|d
+            rep,  # ev t
+            rep,  # ev t16
+            rep,  # t_base
+            rep,  # t16_ok
+            rep,  # total
+            rep,  # per-interval counts
+            frames_shard,  # runnings
+            rep,  # pack_max
+        ),
     )

@@ -17,6 +17,7 @@ TPU-native redesign:
 
 from __future__ import annotations
 
+import os
 from dataclasses import dataclass
 from typing import Optional
 
@@ -81,7 +82,25 @@ class Video:
         self.roi: Optional[Roi] = None
         self.feature_detection = False
 
-        self.state = ops.init_state(self.n)
+        # Pallas interval kernel on TPU-like backends for large planes; the
+        # XLA scan path elsewhere (bit-identical — tests pin both, and the
+        # two paths produce byte-identical .adder files). The plane is padded
+        # to the kernel block; pad-pixel events are masked.
+        backend = jax.default_backend()
+        use_pallas = backend != "cpu" and self.n >= (1 << 16)
+        if os.environ.get("ADDER_TPU_FORCE_PALLAS") == "1":
+            use_pallas = backend != "cpu"
+        if os.environ.get("ADDER_TPU_FORCE_PALLAS") == "0":
+            use_pallas = False
+        self._pallas_block = 4096 if use_pallas else 0
+        if self._pallas_block:
+            self.n_state = (
+                (self.n + self._pallas_block - 1) // self._pallas_block
+            ) * self._pallas_block
+        else:
+            self.n_state = self.n
+
+        self.state = ops.init_state(self.n_state)
         self._c_thresh_baseline_applied = False
 
         meta = self._make_meta()
@@ -90,9 +109,15 @@ class Video:
 
         self._chunk_fns: dict = {}
         self._cap_mult = 2  # event capacity = _cap_mult * N * T per chunk
+        self._pack = 4  # slot-packing lanes (K_SLOTS disables packing)
         self._pending_frames: list[np.ndarray] = []
         self.running_intensities = np.zeros(plane.shape, dtype=np.uint8)
         self._last_runnings = None
+        self._inflight: list = []  # submitted, not-yet-collected chunks
+        # With an Empty encoder, events can stay on device ("the void",
+        # matching the reference's EmptyOutput bench mode, empty/stream.rs):
+        # collect then skips the device->host event fetch entirely.
+        self.void_events = False
         self._keep_running_frame = False  # set True to always sync display
         self.instantaneous_view_mode = 0  # FramedViewMode.Intensity
         self.show_features = 0  # ShowFeatureMode.Off
@@ -179,8 +204,8 @@ class Video:
         self.encoder.sync_crf()
         base = self.encoder.options.crf.get_parameters().c_thresh_baseline
         self.state = self.state._replace(
-            c_thresh=jnp.full((self.n,), base, jnp.int32),
-            c_increase_counter=jnp.zeros((self.n,), jnp.int32),
+            c_thresh=jnp.full((self.n_state,), base, jnp.int32),
+            c_increase_counter=jnp.zeros((self.n_state,), jnp.int32),
         )
 
     def update_quality_manual(
@@ -201,8 +226,8 @@ class Video:
         self.encoder.sync_crf()
         self._chunk_fns.clear()
         self.state = self.state._replace(
-            c_thresh=jnp.full((self.n,), c_thresh_baseline, jnp.int32),
-            c_increase_counter=jnp.zeros((self.n,), jnp.int32),
+            c_thresh=jnp.full((self.n_state,), c_thresh_baseline, jnp.int32),
+            c_increase_counter=jnp.zeros((self.n_state,), jnp.int32),
         )
 
     def update_delta_t_max(self, dtm: int) -> None:
@@ -225,8 +250,8 @@ class Video:
             self.roi.start_x : self.roi.end_x + 1,
             :,
         ] = True
-        c = np.asarray(self.state.c_thresh).copy()
-        c[mask.reshape(-1)] = base
+        c = np.array(self.state.c_thresh)
+        c[: self.n][mask.reshape(-1)] = base
         self.state = self.state._replace(c_thresh=jnp.asarray(c))
 
     # -- getters (API parity) --
@@ -263,13 +288,11 @@ class Video:
             c_increase_velocity=max(p.c_increase_velocity, 1),
         )
 
-    def _chunk_fn(self, cap: int):
-        key = (self._params(), cap)
-        fn = self._chunk_fns.get(key)
-        if fn is None:
-            fn = ops.make_transcode_chunk(key[0], cap)
-            self._chunk_fns[key] = fn
-        return fn
+    def _chunk_fn(self, cap: int, pack: int = 4):
+        return ops.make_transcode_chunk(
+            self._params(), cap, pack, self._pallas_block,
+            self.n if self.n_state != self.n else 0,
+        )
 
     def integrate_matrix(
         self, matrix: np.ndarray, time_spanned: float
@@ -290,6 +313,24 @@ class Video:
         self, frames: np.ndarray, time_spanned: Optional[float] = None
     ) -> EventArray:
         """Transcode T frames (T, H, W, C) through one device chunk."""
+        return self.collect_chunk(self.submit_chunk(frames, time_spanned))
+
+    def submit_chunk(self, frames: np.ndarray, time_spanned=None) -> dict:
+        """Enqueue a device chunk without blocking; pair with collect_chunk.
+
+        The next chunk is enqueued on the previous chunk's (still
+        unmaterialized) output state BEFORE the previous chunk's events are
+        fetched, so its compute overlaps the previous device->host event
+        transfer. This is safe under overflow: capacity overflow truncates
+        only the event buffer, never the carried state, so the overflow
+        re-run (collect_chunk) recovers events without invalidating later
+        chunks. Two chunks may be in flight; older ones are collected here
+        (their events reach the encoder in order).
+        """
+        if self.feature_detection:
+            # features consume per-interval running frames; keep chunks
+            # strictly sequential so run0 is always current
+            self.flush()
         frames = np.asarray(frames)
         T = frames.shape[0]
         flat = frames.reshape(T, -1)
@@ -300,6 +341,8 @@ class Video:
         if time_spanned is None:
             time_spanned = float(self.ref_time)
 
+        if self.n_state != self.n:
+            flat = np.pad(flat, ((0, 0), (0, self.n_state - self.n)))
         if self.in_interval_count == 0:
             self.state = ops.set_initial_d(
                 self.state, jnp.asarray(flat[0].astype(np.int32))
@@ -309,42 +352,108 @@ class Video:
 
         frames_u8 = jnp.asarray(flat.astype(np.uint8))
         t = jnp.float32(time_spanned)
-
-        run0 = jnp.asarray(self.running_intensities.reshape(-1))
-        while True:
-            # cap quantized to power-of-two multiples of N so the jit cache
-            # stays warm across chunks; K_SLOTS*N*T is an exact upper bound,
-            # so small planes get it immediately (no overflow recompiles)
-            mult = min(self._cap_mult, ops.K_SLOTS)
-            if self.n * T <= 1 << 20:
-                mult = ops.K_SLOTS
-            cap = mult * self.n * T
-            fn = self._chunk_fn(cap)
-            new_state, pix, d, tt, total, per_int, runnings = fn(
-                self.state, frames_u8, t, run0
+        run0 = jnp.asarray(
+            np.pad(
+                self.running_intensities.reshape(-1),
+                (0, self.n_state - self.n),
             )
+        )
+
+        # cap quantized to power-of-two multiples of N so the jit cache
+        # stays warm across chunks; K_SLOTS*N*T is an exact upper bound,
+        # so small planes get it immediately (no overflow recompiles)
+        mult = min(self._cap_mult, ops.K_SLOTS)
+        if self.n_state * T <= 1 << 20:
+            mult = ops.K_SLOTS
+        cap = mult * self.n_state * T
+        fn = self._chunk_fn(cap, self._pack)
+        state_before = self.state
+        outs = fn(self.state, frames_u8, t, run0)
+        self.state = outs[0]  # optimistic; collect_chunk reverts on overflow
+        pending = {
+            "outs": outs,
+            "state_before": state_before,
+            "frames_u8": frames_u8,
+            "t": t,
+            "run0": run0,
+            "T": T,
+            "mult": mult,
+            "cap": cap,
+            "pack": self._pack,
+        }
+        self._inflight.append(pending)
+        while len(self._inflight) > 2:
+            self._collect_oldest()
+        return pending
+
+    def collect_chunk(self, pending: dict) -> EventArray:
+        """Block on a submitted chunk (collecting older ones first, in
+        order); feed its events to the encoder."""
+        ev = None
+        while any(p is pending for p in self._inflight):
+            ev = self._collect_oldest()
+        if ev is None:
+            raise SourceError("collect_chunk: unknown pending handle")
+        return ev
+
+    def _collect_oldest(self) -> EventArray:
+        pending = self._inflight.pop(0)
+        T = pending["T"]
+        outs = pending["outs"]
+        mult, cap, pack = pending["mult"], pending["cap"], pending["pack"]
+        while True:
+            (
+                new_state, pixd, tt, t16, t_base, t16_ok, total, per_int,
+                runnings, pack_max,
+            ) = outs
             total_i = int(total)
             take = ops.per_interval_take(cap, T)
-            overflowed = total_i > cap or int(np.max(np.asarray(per_int))) > min(
-                take, ops.K_SLOTS * self.n
-            )
-            if not overflowed or mult >= ops.K_SLOTS:
+            overflowed = total_i > cap or int(
+                np.max(np.asarray(per_int))
+            ) > min(take, ops.K_SLOTS * self.n_state)
+            pack_overflow = pack < ops.K_SLOTS and int(pack_max) > pack
+            if pack_overflow:
+                # a pixel emitted more events than the packed lanes hold:
+                # this plane/content needs the unpacked graph permanently
+                self._pack = pack = ops.K_SLOTS
+            elif not overflowed or mult >= ops.K_SLOTS:
                 break
-            self._cap_mult *= 2  # overflow: rerun from untouched pre-chunk state
+            else:
+                # capacity overflow: grow the buffer
+                mult *= 2
+                self._cap_mult = mult
+                cap = min(mult, ops.K_SLOTS) * self.n_state * T
+            # rerun synchronously from the untouched pre-chunk state
+            fn = self._chunk_fn(cap, pack)
+            outs = fn(
+                pending["state_before"], pending["frames_u8"], pending["t"],
+                pending["run0"],
+            )
         self.state = new_state
         self._last_runnings = runnings  # (T, N) u8, fetched lazily on demand
         if self.feature_detection or self._keep_running_frame:
-            self.running_intensities = np.asarray(runnings[-1]).reshape(
-                self.plane.shape
-            )
+            self.running_intensities = np.asarray(
+                runnings[-1][: self.n]
+            ).reshape(self.plane.shape)
 
-        pix = np.asarray(pix[:total_i])
-        d = np.asarray(d[:total_i]).astype(np.uint8)
-        tt = np.asarray(tt[:total_i])
-        events = self._events_from_flat(pix, d, tt)
+        if self.void_events and not self.feature_detection:
+            return EventArray.empty()
+        pixd = np.asarray(pixd[:total_i])
+        if bool(t16_ok):
+            # 6-byte wire path: u16 timestamps relative to the chunk base
+            t_host = np.asarray(t16[:total_i]).astype(np.uint32) + np.uint32(
+                int(t_base)
+            )
+        else:
+            t_host = np.asarray(tt[:total_i])
+        pix = (pixd >> 8).astype(np.int64)
+        d = (pixd & 0xFF).astype(np.uint8)
+        events = self._events_from_flat(pix, d, t_host)
         self.encoder.ingest_event_array(events)
         if self.feature_detection:
-            self._handle_features(events, np.asarray(per_int), np.asarray(runnings))
+            self._handle_features(
+                events, np.asarray(per_int), np.asarray(runnings)
+            )
         return events
 
     # -- feature pipeline (ref: video.rs:883-1227) --
@@ -388,7 +497,7 @@ class Video:
             )
             if not cand.any():
                 continue
-            frame = runnings[i].reshape(H, W, self.plane.channels)
+            frame = runnings[i][: self.n].reshape(H, W, self.plane.channels)
             mask = fast_mask(frame)
             cx, cy = xs[cand], ys[cand]
             is_f = mask[cy, cx]
@@ -414,12 +523,14 @@ class Video:
                 r = params.feature_c_radius
                 lo_y, hi_y = max(y - r, 0), min(y + r, H - 1)
                 lo_x, hi_x = max(x - r, 0), min(x + r, W - 1)
-                c = np.array(self.state.c_thresh).reshape(self.plane.shape[:2] + (-1,))
+                c_full = np.array(self.state.c_thresh)
+                c = c_full[: self.n].reshape(self.plane.shape[:2] + (-1,))
                 c[lo_y : hi_y + 1, lo_x : hi_x + 1, :] = min(
                     params.c_thresh_baseline, 2
                 )
+                c_full[: self.n] = c.reshape(-1)
                 self.state = self.state._replace(
-                    c_thresh=jnp.asarray(c.reshape(-1))
+                    c_thresh=jnp.asarray(c_full)
                 )
         if self.feature_cluster and new_features:
             self.cluster(set(new_features))
@@ -481,7 +592,9 @@ class Video:
         return EventArray(x, y, c, d, t)
 
     def flush(self) -> None:
-        """No buffered frames in the current design; hook for pipelining."""
+        """Collect any in-flight chunks (their events reach the encoder)."""
+        while self._inflight:
+            self._collect_oldest()
 
     def detect_features(self, detect: bool, show_features=None) -> "Video":
         self.feature_detection = detect

@@ -84,3 +84,64 @@ def test_framer_buffer_limit():
     assert not fs.is_frame_0_filled()
     fs.ingest_event(Event(0, 0, None, 5, 2000))
     assert fs.is_frame_0_filled()
+
+
+@pytest.mark.parametrize("dtype", [np.uint16, np.uint32, np.uint64])
+def test_framer_wider_output_types(samples_dir, dtype):
+    """u16/u32/u64 outputs (ref: scale_intensity.rs FrameValue impls)."""
+    dec = open_file_decoder(str(samples_dir / "sample_3_ordered.adder"))
+    m = dec.meta
+    b = FramerBuilder(m.plane)
+    b.out_dtype = dtype
+    fs = (
+        b.time_parameters(m.tps, m.ref_interval, m.delta_t_max, 60.0)
+        .codec_meta(m.codec_version, m.time_mode)
+        .source_info(dec.get_source_type(), m.source_camera)
+        .finish()
+    )
+    fs.ingest_event_array(dec.digest_all())
+    vals, filled = fs.pop_next_frame()
+    assert vals.dtype == dtype
+    # u8 golden frame scaled up: top byte must match the u8 reconstruction
+    info = np.iinfo(dtype)
+    assert vals.max() > info.max // 4
+
+
+def test_framer_coordless_output(samples_dir):
+    """EventCoordless passthrough frames (ref: scale_intensity.rs:32-52)."""
+    from adder_tpu.framer.driver import unpack_coordless
+
+    dec = open_file_decoder(str(samples_dir / "sample_3_ordered.adder"))
+    m = dec.meta
+    b = FramerBuilder(m.plane)
+    b.coordless = True
+    fs = (
+        b.time_parameters(m.tps, m.ref_interval, m.delta_t_max, 60.0)
+        .codec_meta(m.codec_version, m.time_mode)
+        .source_info(dec.get_source_type(), m.source_camera)
+        .finish()
+    )
+    fs.ingest_event_array(dec.digest_all())
+    vals, filled = fs.pop_next_frame()
+    d, dt = unpack_coordless(vals)
+    assert d.max() <= 255 and d.max() > 0
+    assert dt.max() > 0
+
+
+def test_framer_feature_intervals(samples_dir):
+    """In-framer FAST binned by output frame (ref: driver.rs:482-553)."""
+    dec = open_file_decoder(str(samples_dir / "nyc_source_v2.adder"))
+    m = dec.meta
+    b = FramerBuilder(m.plane)
+    b.detect_features = True
+    fs = (
+        b.time_parameters(m.tps, m.ref_interval, m.delta_t_max, 30.0)
+        .codec_meta(m.codec_version, m.time_mode)
+        .source_info(dec.get_source_type(), m.source_camera)
+        .finish()
+    )
+    fs.ingest_event_array(dec.digest_batch(100000))
+    total = sum(len(fi.features) for fi in fs.features)
+    assert total > 0
+    fi = fs.pop_features()
+    assert fi.end_ts > 0

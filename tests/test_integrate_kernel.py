@@ -52,20 +52,28 @@ def run_oracle(frames, params: K.TranscodeParams, c_thresh0, init_frame=None):
     return out
 
 
-def run_kernel(frames, params: K.TranscodeParams, c_thresh0, init_frame=None):
+def run_kernel(frames, params: K.TranscodeParams, c_thresh0, init_frame=None, pack=4):
     T, N = frames.shape
     state = K.init_state(N, c_thresh=c_thresh0)
     if init_frame is not None:
         state = K.set_initial_d(state, jax.numpy.asarray(init_frame))
-    fn = K.make_transcode_chunk(params, event_cap=T * N * K.K_SLOTS)
+    fn = K.make_transcode_chunk(params, event_cap=T * N * K.K_SLOTS, pack=pack)
     fr = jax.numpy.asarray(frames, jax.numpy.uint8)
     run0 = jax.numpy.zeros((N,), jax.numpy.uint8)
-    state, pix, d, t, total, per_int, runnings = fn(
-        state, fr, jax.numpy.float32(params.ref_time), run0
-    )
+    (
+        state, pixd, t, t16, t_base, t16_ok, total, per_int, runnings, pack_max
+    ) = fn(state, fr, jax.numpy.float32(params.ref_time), run0)
+    if pack < K.K_SLOTS and int(pack_max) > pack:
+        return run_kernel(frames, params, c_thresh0, init_frame, pack=K.K_SLOTS)
     total = int(total)
     assert int(state.overflow) == 0
-    pix, d, t = np.asarray(pix)[:total], np.asarray(d)[:total], np.asarray(t)[:total]
+    pixd = np.asarray(pixd)[:total]
+    if bool(t16_ok):
+        t = np.asarray(t16)[:total].astype(np.uint32) + np.uint32(int(t_base))
+    else:
+        t = np.asarray(t)[:total]
+    pix = (pixd >> 8).astype(np.int64)
+    d = (pixd & 0xFF).astype(np.uint8)
     per_int = np.asarray(per_int)
     out = []
     k = 0
