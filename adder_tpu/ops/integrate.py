@@ -607,8 +607,13 @@ def _running_intensity(s: _S, p: TranscodeParams):
 
 
 def per_interval_take(event_cap: int, n_intervals: int) -> int:
-    """Per-interval compaction prefix length for a chunk of n_intervals."""
-    return max(event_cap // max(n_intervals, 1), 1)
+    """Per-interval compaction prefix length for a chunk of n_intervals.
+
+    Deliberately 4x tighter than the buffer would allow: the prefix gather
+    is a hot cost, typical event rates are well under capacity, and an
+    underestimate is caught by the per-interval overflow check (the caller
+    re-runs the chunk with a doubled cap)."""
+    return max(event_cap // max(n_intervals, 1) // 4, 1)
 
 
 def compact_slots(slot_d, slot_t, slot_m):
@@ -652,30 +657,38 @@ def _pack_slots(slot_d, slot_t, slot_m, pack: int):
     return jnp.stack(pd), jnp.stack(pt), jnp.stack(pm), cnt
 
 
-def _compact_sorted(slot_d, slot_t, slot_m, offset, bufs, take):
-    """Event compaction via stable sort (valid-first) — avoids XLA scatter,
-    which lowers to a serial loop on TPU. Only (validity, flat-index) pairs
-    are sorted; d/t/pixel are gathered for the bounded `take`-prefix. Event
-    order is preserved because the sort is stable over the (pixel,
-    slot)-major flattening. Returns n_ev > take to signal overflow."""
+def _compact_interval(slot_d, slot_t, slot_m, take):
+    """One interval's event compaction via top_k over position keys — no
+    scatter (serial on TPU), no full sort, no transposes. Returns
+    (pixd (take,) u32 wire-packed, t (take,) u32, n_ev); n_ev > take signals
+    overflow (events dropped; the caller re-runs with a larger cap)."""
     K, N = slot_d.shape
-    m = slot_m.T.reshape(-1)
-    inv = (~m).astype(jnp.uint8)
-    idx = jnp.arange(K * N, dtype=_i32)
-    _, idx_s = jax.lax.sort((inv, idx), dimension=0, is_stable=True, num_keys=1)
-    n_ev = jnp.sum(m.astype(_i32))
+    # Keys ARE the (pixel, slot)-major event positions, built natively on the
+    # (K, N) layout (ordering comes from key VALUES, not input order).
+    # Invalid slots get a sentinel above every real position; top_k of the
+    # negated keys yields the `take` smallest positions already in order.
+    pix_ids = jax.lax.broadcasted_iota(_i32, (K, N), 1)
+    lane_ids = jax.lax.broadcasted_iota(_i32, (K, N), 0)
+    key = jnp.where(slot_m, pix_ids * K + lane_ids, (1 << 30)).reshape(-1)
+    n_ev = jnp.sum(slot_m.astype(_i32))
+    neg_top, _ = jax.lax.top_k(-key, take)
+    src = -neg_top  # ascending event positions
 
-    src = idx_s[:take]
-    d_s = slot_d.T.reshape(-1)[src]
-    t_s = slot_t.T.reshape(-1)[src]
+    # resolve (pixel, lane) back into the (K, N) layout for the gathers
+    flat_idx = (src % K) * N + (src // K)
+    d_s = slot_d.reshape(-1)[flat_idx]
+    t_s = slot_t.reshape(-1)[flat_idx]
     pix_s = (src // K).astype(_i32)
     # wire-packed event: (pix << 8 | d) in u32 — halves the pix+d transfer
-    pixd_s = ((pix_s.astype(_u32) << 8) | (d_s.astype(_u32) & 0xFF))
+    pixd_s = (pix_s.astype(_u32) << 8) | (d_s.astype(_u32) & 0xFF)
+    return pixd_s, t_s, n_ev
 
+
+def _merge_prefix(bufs, offset, pixd_s, t_s, n_ev, take):
+    """Write an interval's compacted prefix into the chunk buffers at the
+    running offset (contiguous DUS with masked read-modify-write)."""
     buf_pixd, buf_t = bufs
     valid = jnp.arange(take, dtype=_i32) < n_ev
-    # masked merge: read-modify-write of the target slice (contiguous DUS,
-    # no scatter)
     old_pixd = jax.lax.dynamic_slice_in_dim(buf_pixd, offset, take)
     old_t = jax.lax.dynamic_slice_in_dim(buf_t, offset, take)
     buf_pixd = jax.lax.dynamic_update_slice_in_dim(
@@ -684,7 +697,7 @@ def _compact_sorted(slot_d, slot_t, slot_m, offset, bufs, take):
     buf_t = jax.lax.dynamic_update_slice_in_dim(
         buf_t, jnp.where(valid, t_s, old_t), offset, 0
     )
-    return (buf_pixd, buf_t), offset + n_ev, n_ev
+    return (buf_pixd, buf_t), offset + n_ev
 
 
 @functools.lru_cache(maxsize=64)
@@ -721,7 +734,7 @@ def make_transcode_chunk(
         take = per_interval_take(event_cap, T)
 
         def step(carry, frame_u8):
-            st, bufs, offset, max_cnt, run = carry
+            st, max_cnt, run, bufs, offset = carry
             if pallas_block:
                 # VMEM-resident interval kernel (bit-identical to the XLA
                 # path; see ops/pallas_kernel.py)
@@ -744,32 +757,39 @@ def make_transcode_chunk(
                 )
             run = jnp.where(rhas, rval, run)
             if 0 < pack < K_SLOTS:
-                # shrink the sorted volume K -> pack lanes per pixel; the
+                # shrink the compaction volume K -> pack lanes per pixel; the
                 # rare pixel with > pack events raises max_cnt and the
                 # caller re-runs this chunk with the unpacked graph
                 sd, stt, sm, cnt = _pack_slots(sd, stt, sm, pack)
                 max_cnt = jnp.maximum(max_cnt, jnp.max(cnt))
             take_i = min(take, sd.shape[0] * sd.shape[1])
-            bufs, offset, n_ev = _compact_sorted(
-                sd, stt, sm, offset, bufs, take_i
+            pixd_i, t_i, n_ev = _compact_interval(sd, stt, sm, take_i)
+            # merge the interval's prefix into the chunk buffer (contiguous
+            # dynamic-update-slice at the running offset; in-place in the
+            # scan carry)
+            bufs, offset = _merge_prefix(
+                bufs, offset, pixd_i, t_i, n_ev, take_i
             )
-            return (st, bufs, offset, max_cnt, run), (n_ev, run)
+            return (st, max_cnt, run, bufs, offset), (n_ev, run)
 
-        bufs = (
+        bufs0 = (
             jnp.zeros((event_cap,), _u32),  # pix<<8 | d
             jnp.zeros((event_cap,), _u32),  # t
         )
-        (state, bufs, total, max_cnt, _), (per_interval, runnings) = jax.lax.scan(
-            step,
-            (state, bufs, jnp.zeros((), _i32), jnp.zeros((), _i32), run0),
-            frames,
+        (state, max_cnt, _, bufs, total), (per_interval, runnings) = (
+            jax.lax.scan(
+                step,
+                (state, jnp.zeros((), _i32), run0, bufs0, jnp.zeros((), _i32)),
+                frames,
+            )
         )
         buf_pixd, buf_t = bufs
+
         # 16-bit timestamp compression for the host link
-        valid = jnp.arange(event_cap, dtype=_i32) < total
-        t_base = jnp.min(jnp.where(valid, buf_t, jnp.uint32(0xFFFFFFFF)))
+        ok = jnp.arange(event_cap, dtype=_i32) < total
+        t_base = jnp.min(jnp.where(ok, buf_t, jnp.uint32(0xFFFFFFFF)))
         t_base = jnp.where(total > 0, t_base, 0)
-        t_max = jnp.max(jnp.where(valid, buf_t, 0))
+        t_max = jnp.max(jnp.where(ok, buf_t, 0))
         t16_ok = (t_max - t_base) < (1 << 16)
         buf_t16 = (buf_t - t_base).astype(jnp.uint16)
         return (

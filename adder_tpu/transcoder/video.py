@@ -108,7 +108,7 @@ class Video:
         self.encoder_type = EncoderType.Empty
 
         self._chunk_fns: dict = {}
-        self._cap_mult = 2  # event capacity = _cap_mult * N * T per chunk
+        self._cap_mult = 1  # event capacity = _cap_mult * N * T per chunk
         self._pack = 4  # slot-packing lanes (K_SLOTS disables packing)
         self._pending_frames: list[np.ndarray] = []
         self.running_intensities = np.zeros(plane.shape, dtype=np.uint8)
@@ -406,12 +406,24 @@ class Video:
                 new_state, pixd, tt, t16, t_base, t16_ok, total, per_int,
                 runnings, pack_max,
             ) = outs
-            total_i = int(total)
+            # one host round-trip for all control scalars (the link has
+            # high per-transfer latency; batching matters more than size)
+            total_i, per_int_max, pack_max_i, t16_ok_b, t_base_i = (
+                jax.device_get(
+                    (total, jnp.max(per_int), pack_max, t16_ok, t_base)
+                )
+            )
+            total_i = int(total_i)
             take = ops.per_interval_take(cap, T)
-            overflowed = total_i > cap or int(
-                np.max(np.asarray(per_int))
-            ) > min(take, ops.K_SLOTS * self.n_state)
-            pack_overflow = pack < ops.K_SLOTS and int(pack_max) > pack
+            overflowed = total_i > cap or int(per_int_max) > min(
+                take, ops.K_SLOTS * self.n_state
+            )
+            pack_overflow = pack < ops.K_SLOTS and int(pack_max_i) > pack
+            if not overflowed and not pack_overflow:
+                # decay the capacity once bursts pass (a scene-change chunk
+                # shouldn't permanently inflate the compaction prefix)
+                if int(per_int_max) * 8 < take and self._cap_mult > 1:
+                    self._cap_mult //= 2
             if pack_overflow:
                 # a pixel emitted more events than the packed lanes hold:
                 # this plane/content needs the unpacked graph permanently
@@ -438,14 +450,13 @@ class Video:
 
         if self.void_events and not self.feature_detection:
             return EventArray.empty()
-        pixd = np.asarray(pixd[:total_i])
-        if bool(t16_ok):
+        if bool(t16_ok_b):
             # 6-byte wire path: u16 timestamps relative to the chunk base
-            t_host = np.asarray(t16[:total_i]).astype(np.uint32) + np.uint32(
-                int(t_base)
-            )
+            pixd_h, t16_h = jax.device_get((pixd[:total_i], t16[:total_i]))
+            t_host = t16_h.astype(np.uint32) + np.uint32(int(t_base_i))
         else:
-            t_host = np.asarray(tt[:total_i])
+            pixd_h, t_host = jax.device_get((pixd[:total_i], tt[:total_i]))
+        pixd = np.asarray(pixd_h)
         pix = (pixd >> 8).astype(np.int64)
         d = (pixd & 0xFF).astype(np.uint8)
         events = self._events_from_flat(pix, d, t_host)

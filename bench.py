@@ -29,7 +29,7 @@ def main():
     from adder_tpu.core.types import PixelMultiMode, SourceCamera, TimeMode
     from adder_tpu.transcoder.framed import FramedArray
 
-    H, W, T = 1080, 1920, 8
+    H, W, T = 1080, 1920, 16
     n_chunks = 6
     rng = np.random.default_rng(7)
 

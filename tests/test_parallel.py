@@ -1,0 +1,72 @@
+"""Multi-chip sharding tests on a virtual CPU mesh.
+
+Mirrors how the driver validates the multi-chip path: shard the full
+transcode chunk over an 8-device mesh (pixels never communicate, so the hot
+loop needs no collectives; XLA inserts any needed data movement)."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from adder_tpu.ops import integrate as ops
+from adder_tpu.parallel import sharding as sh
+
+
+def cpu_devices(n):
+    try:
+        devs = jax.devices("cpu")
+    except RuntimeError:
+        return None
+    return devs[:n] if len(devs) >= n else None
+
+
+@pytest.mark.parametrize("ndev", [2, 8])
+def test_sharded_chunk_matches_single(ndev):
+    devs = cpu_devices(ndev)
+    if devs is None:
+        pytest.skip(f"need {ndev} cpu devices (xla_force_host_platform_device_count)")
+    mesh = sh.make_mesh(devs)
+    n = 16 * 8 * ndev
+    T = 2
+    p = ops.TranscodeParams()
+    cap = ops.K_SLOTS * n * T * 4  # per_interval_take divides by 4
+
+    rng = np.random.default_rng(0)
+    frames = rng.integers(0, 256, (T, n)).astype(np.uint8)
+
+    # single-device reference (same graph, unsharded)
+    fn = ops.make_transcode_chunk(p, cap, ops.K_SLOTS)
+    st0 = ops.init_state(n)
+    with jax.default_device(devs[0]):
+        outs_ref = fn(
+            jax.device_put(st0, devs[0]),
+            jnp.asarray(frames),
+            jnp.float32(255.0),
+            jnp.zeros((n,), jnp.uint8),
+        )
+
+    st = sh.shard_state(ops.init_state(n), mesh)
+    fr = jax.device_put(
+        jnp.asarray(frames),
+        jax.sharding.NamedSharding(mesh, jax.sharding.PartitionSpec(None, "px")),
+    )
+    run0 = jax.device_put(
+        jnp.zeros((n,), jnp.uint8),
+        jax.sharding.NamedSharding(mesh, jax.sharding.PartitionSpec("px")),
+    )
+    sfn = sh.make_transcode_chunk_sharded(p, cap, mesh)
+    outs = sfn(st, fr, jnp.float32(255.0), run0)
+
+    # same totals, same per-interval counts, same event stream
+    assert int(outs[6]) == int(outs_ref[6])
+    assert np.array_equal(np.asarray(outs[7]), np.asarray(outs_ref[7]))
+    tot = int(outs[6])
+    assert np.array_equal(np.asarray(outs[1][:tot]), np.asarray(outs_ref[1][:tot]))
+    assert np.array_equal(np.asarray(outs[2][:tot]), np.asarray(outs_ref[2][:tot]))
+    # sharded state pieces match the single-device run
+    for f in ("node_d", "node_integ", "length", "last_fired_t"):
+        assert np.array_equal(
+            np.asarray(getattr(outs[0], f)), np.asarray(getattr(outs_ref[0], f))
+        ), f

@@ -13,8 +13,12 @@ from adder_tpu.models.simulproc import SimulProcArgs, simulproc_from_args
 
 def main():
     p = argparse.ArgumentParser(description="simultaneous transcode + reconstruct")
-    p.add_argument("-i", "--input-filename", required=True)
-    p.add_argument("--output-events-filename", required=True)
+    p.add_argument(
+        "--args-filename", default="",
+        help="TOML preset overriding defaults (ref: bin/args/*.toml)",
+    )
+    p.add_argument("-i", "--input-filename", required=False, default="")
+    p.add_argument("--output-events-filename", default="")
     p.add_argument("--output-raw-video-filename", default="")
     p.add_argument("--color-input", action="store_true")
     p.add_argument("--scale", type=float, default=1.0)
@@ -25,6 +29,21 @@ def main():
     p.add_argument("--crf", type=int, default=3)
     p.add_argument("--time-mode", choices=["delta_t", "absolute"], default="absolute")
     a = p.parse_args()
+
+    if a.args_filename:
+        # TOML presets, like the reference's --args-filename
+        import tomllib
+
+        with open(a.args_filename, "rb") as f:
+            preset = tomllib.load(f)
+        for k, v in preset.items():
+            key = k.replace("-", "_")
+            if hasattr(a, key):
+                setattr(a, key, v)
+    if not a.input_filename:
+        p.error("--input-filename required (directly or via --args-filename)")
+    if not a.output_events_filename:
+        p.error("--output-events-filename required (directly or via --args-filename)")
 
     args = SimulProcArgs(
         input_filename=a.input_filename,
