@@ -616,26 +616,6 @@ def per_interval_take(event_cap: int, n_intervals: int) -> int:
     return max(event_cap // max(n_intervals, 1) // 4, 1)
 
 
-def compact_slots(slot_d, slot_t, slot_m):
-    """Compact (K, N) slots to (pixel, slot)-ordered dense event arrays.
-
-    Returns (pix_idx (cap,) int32, d, t, count). Entries past `count` are
-    filled with pix_idx = -1. cap = K*N (exact; callers slice by count).
-    """
-    K, N = slot_d.shape
-    m = slot_m.T.reshape(-1)
-    d = slot_d.T.reshape(-1)
-    t = slot_t.T.reshape(-1)
-    pix = jnp.repeat(jnp.arange(N, dtype=_i32), K)
-    pos = jnp.cumsum(m.astype(_i32)) - 1
-    count = jnp.sum(m.astype(_i32))
-    idx = jnp.where(m, pos, K * N)
-    out_pix = jnp.full((K * N,), -1, _i32).at[idx].set(pix, mode="drop")
-    out_d = jnp.zeros((K * N,), _i32).at[idx].set(d, mode="drop")
-    out_t = jnp.zeros((K * N,), _u32).at[idx].set(t, mode="drop")
-    return out_pix, out_d, out_t, count
-
-
 def _pack_slots(slot_d, slot_t, slot_m, pack: int):
     """Left-pack each pixel's K slots into `pack` lanes (order-preserving,
     pure selects — no gathers). Returns packed (pack, N) arrays plus the

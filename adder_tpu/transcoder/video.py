@@ -26,7 +26,6 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..codec.encoder import (
-    EmptyOutput,
     Encoder,
     EncoderOptions,
     EncoderType,
@@ -110,7 +109,6 @@ class Video:
         self._chunk_fns: dict = {}
         self._cap_mult = 1  # event capacity = _cap_mult * N * T per chunk
         self._pack = 4  # slot-packing lanes (K_SLOTS disables packing)
-        self._pending_frames: list[np.ndarray] = []
         self.running_intensities = np.zeros(plane.shape, dtype=np.uint8)
         self._last_runnings = None
         self._inflight: list = []  # submitted, not-yet-collected chunks

@@ -241,3 +241,27 @@ def test_fixture_reencode_identical(samples_dir, tmp_path):
     enc.ingest_event_array(events)
     enc.close_writer().close()
     assert path.read_bytes() == src.read_bytes()
+
+
+def test_event_drop_manual(tmp_path):
+    """EventDrop manual EMA rate limiter drops events when the rate exceeds
+    the target (ref: encoder.rs:234-253)."""
+    from adder_tpu.codec.encoder import EventDrop
+
+    meta = make_meta()
+    opts = EncoderOptions.default(meta.plane)
+    opts.event_drop = EventDrop(mode="manual", target_event_rate=10.0, alpha=0.9)
+    path = tmp_path / "drop.adder"
+    enc = Encoder.new_raw(meta, open(path, "wb"), opts)
+    ev = EventArray(
+        np.zeros(10000, np.uint16),
+        np.zeros(10000, np.uint16),
+        np.full(10000, NO_CHANNEL, np.uint8),
+        np.ones(10000, np.uint8),
+        np.arange(10000, dtype=np.uint32),
+    )
+    enc.ingest_event_array(ev)
+    enc.close_writer().close()
+    kept = open_file_decoder(str(path)).digest_all()
+    # a 10 ev/s target against a burst of 10k must drop nearly everything
+    assert len(kept) < 10000
