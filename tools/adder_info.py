@@ -19,6 +19,11 @@ def main():
     args = p.parse_args()
     print(adder_info(args.input, args.dynamic_range), end="")
 
-
+from adder_tpu.codec.header import CodecError  # noqa: E402
 if __name__ == "__main__":
-    main()
+    try:
+        main()
+    except CodecError as e:
+        sys.exit(f"error: not a valid ADDER stream: {e}")
+    except FileNotFoundError as e:
+        sys.exit(f"error: {e}")

@@ -26,6 +26,11 @@ def main():
         f"{stats['n_dvs_events']} DVS events"
     )
 
-
+from adder_tpu.codec.header import CodecError  # noqa: E402
 if __name__ == "__main__":
-    main()
+    try:
+        main()
+    except CodecError as e:
+        sys.exit(f"error: not a valid ADDER stream: {e}")
+    except FileNotFoundError as e:
+        sys.exit(f"error: {e}")

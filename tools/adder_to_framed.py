@@ -35,6 +35,11 @@ def main():
             n += fs.write_multi_frame_bytes(out)
     print(f"wrote {n} frames ({m.plane.width}x{m.plane.height}x{m.plane.channels})")
 
-
+from adder_tpu.codec.header import CodecError  # noqa: E402
 if __name__ == "__main__":
-    main()
+    try:
+        main()
+    except CodecError as e:
+        sys.exit(f"error: not a valid ADDER stream: {e}")
+    except FileNotFoundError as e:
+        sys.exit(f"error: {e}")

@@ -47,6 +47,11 @@ def main():
         ok = write_frames_to_video(np.stack(frames), args.output_video, player.fps)
         print(f"wrote {args.output_video}" if ok else "video write failed")
 
-
+from adder_tpu.codec.header import CodecError  # noqa: E402
 if __name__ == "__main__":
-    main()
+    try:
+        main()
+    except CodecError as e:
+        sys.exit(f"error: not a valid ADDER stream: {e}")
+    except FileNotFoundError as e:
+        sys.exit(f"error: {e}")

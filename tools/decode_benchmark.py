@@ -23,6 +23,11 @@ def main():
         f"({len(events)/max(dt,1e-9)/1e6:.1f} Mev/s)"
     )
 
-
+from adder_tpu.codec.header import CodecError  # noqa: E402
 if __name__ == "__main__":
-    main()
+    try:
+        main()
+    except CodecError as e:
+        sys.exit(f"error: not a valid ADDER stream: {e}")
+    except FileNotFoundError as e:
+        sys.exit(f"error: {e}")
