@@ -55,18 +55,20 @@ def main():
             img += 90.0 * np.exp(-r2 / (2 * 60.0**2))
         frames[t] = np.clip(img, 0, 255).astype(np.uint8)
 
+    # the reference's own criterion bench config (framed_to_adder_hd.rs:24-39):
+    # lossless (c_thresh 0/0), delta_t_max = 24 * ref_time, DeltaT mode
     src = FramedArray(frames, source_fps=24.0, chunk_frames=T)
-    src.auto_time_parameters(255, 255 * 4, TimeMode.AbsoluteT)
-    src.crf(3)
+    src.auto_time_parameters(255, 255 * 24, TimeMode.DeltaT)
     src.write_out(
         SourceCamera.FramedU8,
-        TimeMode.AbsoluteT,
+        TimeMode.DeltaT,
         PixelMultiMode.Collapse,
         None,
         EncoderType.Empty,
         EncoderOptions.default(src.video.plane),
         None,
     )
+    src.video.update_quality_manual(0, 0, 24, 1, 2.0)
     src.video.void_events = True
 
     # warmup: compile + first chunk (also absorbs the scene-change burst)
