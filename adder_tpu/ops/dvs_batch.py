@@ -1,0 +1,215 @@
+"""Batched device path for sparse DVS-style sources (SURVEY P5).
+
+The reference processes DVS/Prophesee events serially, one pixel at a time
+(ref: adder-codec-rs/src/transcoder/source/prophesee.rs:116-297). This
+module keeps those exact per-event semantics but runs the integration on
+the dense TPU kernel:
+
+- DVS events are bucketed host-side into per-pixel *lanes* (lane k = the
+  k-th event a pixel sees within the batch, preserving the stream's
+  per-pixel time order).
+- The sequential log-intensity chain (gap integrate -> +-theta step ->
+  one-tick integrate) is replayed lane by lane: host numpy updates the
+  (float64) ln state exactly as the scalar loop does, and each lane issues
+  two *masked* dense interval calls on the device - one for the held-
+  intensity gap, one for the new-intensity source tick.
+- `masked_interval` wraps `ops.integrate._interval_core` with a per-pixel
+  mask: untouched pixels keep their state bit-for-bit (full snapshot
+  select), so sparse batches never perturb idle pixels.
+
+Per-pixel event streams are bit-identical to the scalar-oracle path (see
+tests/test_dvs_batch.py); cross-pixel order is normalized by sort, the
+same determinism contract the framed path uses.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from . import integrate as I
+
+_f32 = jnp.float32
+_i32 = jnp.int32
+
+_MID_LN = float(np.log1p(128.0 / 255.0))
+
+
+def masked_interval(
+    state: I.PixelState,
+    intensity: jax.Array,  # (N,) f32
+    frame_val: jax.Array,  # (N,) i32
+    time: jax.Array,  # (N,) f32 per-pixel ticks spanned
+    mask: jax.Array,  # (N,) bool - pixels that integrate this call
+    p: I.TranscodeParams,
+):
+    """One dense interval where only `mask` pixels integrate.
+
+    `_interval_core` treats `time` elementwise (it only ever broadcasts
+    it), so a per-pixel time vector drops straight in; masked-off pixels
+    are restored from a snapshot afterwards, which also undoes any
+    spurious pop/c_thresh movement their garbage inputs caused.
+    """
+    old = I._S.unstack(state)
+    s = I._S.unstack(state)
+    slots, running = I._interval_core(s, intensity, frame_val, time, p)
+
+    m = mask
+    for k in range(I.DEPTH):
+        s.nd[k] = jnp.where(m, s.nd[k], old.nd[k])
+        s.ni[k] = jnp.where(m, s.ni[k], old.ni[k])
+        s.ndt[k] = jnp.where(m, s.ndt[k], old.ndt[k])
+        s.bd[k] = jnp.where(m, s.bd[k], old.bd[k])
+        s.bdt[k] = jnp.where(m, s.bdt[k], old.bdt[k])
+    s.length = jnp.where(m, s.length, old.length)
+    s.base_val = jnp.where(m, s.base_val, old.base_val)
+    s.c_thresh = jnp.where(m, s.c_thresh, old.c_thresh)
+    s.cic = jnp.where(m, s.cic, old.cic)
+    s.lft = jnp.where(m, s.lft, old.lft)
+    s.running_t = jnp.where(m, s.running_t, old.running_t)
+    s.need_pop = jnp.where(m, s.need_pop, old.need_pop)
+    s.dtm_reached = jnp.where(m, s.dtm_reached, old.dtm_reached)
+    s.popped_dtm = jnp.where(m, s.popped_dtm, old.popped_dtm)
+    # masked pixels can't overflow: resting nodes hold integ < 2^d, so a
+    # zero-intensity zero-time step never fires their DEPTH-th node
+    slot_d = jnp.stack([x[0] for x in slots]).astype(_i32)
+    slot_t = jnp.stack([x[1] for x in slots]).astype(jnp.uint32)
+    slot_m = jnp.stack([x[2] for x in slots]) & m
+    rval, rhas = running
+    return s.restack(), slot_d, slot_t, slot_m, (rval, rhas & m)
+
+
+@functools.lru_cache(maxsize=32)
+def make_masked_interval(p: I.TranscodeParams):
+    return jax.jit(lambda st, i, fv, t, m: masked_interval(st, i, fv, t, m, p))
+
+
+def _mid_clamp_vec(val: np.ndarray, ln: np.ndarray):
+    """Vectorized utils.cv.mid_clamp_u8 (ref: transcoder/mod.rs clamp)."""
+    bad = (val < 0.0) | (val > 255.0)
+    return np.where(bad, 128.0, val), np.where(bad, _MID_LN, ln)
+
+
+class DvsLane(NamedTuple):
+    """Dense per-lane device inputs for one DVS event per pixel (two masked
+    interval sub-steps: the held-intensity gap, then the source tick)."""
+
+    gap_mask: np.ndarray  # (N,) bool
+    gap_fv: np.ndarray  # (N,) i32
+    gap_intensity: np.ndarray  # (N,) f32
+    gap_time: np.ndarray  # (N,) f32
+    tick_mask: np.ndarray
+    tick_fv: np.ndarray
+    tick_intensity: np.ndarray
+    tick_time: np.ndarray
+
+
+def plan_dvs_batch(
+    ts: np.ndarray,
+    xs: np.ndarray,
+    ys: np.ndarray,
+    ps: np.ndarray,
+    width: int,
+    n: int,
+    last_t: np.ndarray,  # (N,) uint32, updated in place
+    last_ln: np.ndarray,  # (N,) float64, updated in place
+    theta: float,
+    ref: int,
+) -> list:
+    """Bucket a time-ordered DVS batch into per-pixel lanes and replay the
+    sequential ln-chain exactly as the scalar loop does
+    (ref: prophesee.rs:175-249). Returns a list of DvsLane; mutates
+    last_t / last_ln to the post-batch state."""
+    pix = ys.astype(np.int64) * width + xs.astype(np.int64)
+    # lane index = per-pixel occurrence number (stream is time-ordered, so
+    # per-pixel order is preserved by stable sort)
+    order = np.argsort(pix, kind="stable")
+    sp = pix[order]
+    seg_start = np.ones(len(sp), bool)
+    seg_start[1:] = sp[1:] != sp[:-1]
+    # occurrence number within segment
+    idx = np.arange(len(sp))
+    seg_base = np.where(seg_start, idx, 0)
+    np.maximum.accumulate(seg_base, out=seg_base)
+    lane_sorted = idx - seg_base
+    lane = np.empty(len(sp), np.int64)
+    lane[order] = lane_sorted
+
+    lanes = []
+    k_max = int(lane.max()) + 1 if len(lane) else 0
+    for k in range(k_max):
+        sel = lane == k
+        i = pix[sel]
+        t = ts[sel].astype(np.int64)
+        pol = ps[sel]
+        lt = last_t[i].astype(np.int64)
+        keep = t >= lt  # ref: prophesee.rs:180 (skip out-of-order)
+
+        gap_on = keep & (t > lt + 1)
+        tick_on = keep & (t > lt)
+
+        ln = last_ln[i]
+        last_val = (np.exp(ln) - 1.0) * 255.0
+        last_val, ln_c = _mid_clamp_vec(last_val, ln)
+        gap_n = t - lt - 1
+
+        # the mid-clamp of the held ln happens only on the gap branch
+        # (ref: prophesee.rs:203-212 - the reassignment is branch-local)
+        base_ln = np.where(gap_on, ln_c, ln)
+        new_ln = np.where(keep, base_ln + np.where(pol == 0, -theta, theta), ln)
+        new_val = (np.exp(new_ln) - 1.0) * 255.0
+        new_val_c, new_ln_c = _mid_clamp_vec(new_val, new_ln)
+        # the tick branch re-clamps and stores the clamped ln
+        # (ref: prophesee.rs:243-247); without a tick the raw step persists
+        ln_after = np.where(tick_on, new_ln_c, new_ln)
+
+        last_ln[i] = np.where(keep, ln_after, last_ln[i])
+        last_t[i] = np.where(keep, t, lt).astype(last_t.dtype)
+
+        def dense(vals, dtype, sel_mask):
+            out = np.zeros(n, dtype)
+            out[i[sel_mask]] = vals[sel_mask]
+            return out
+
+        lanes.append(
+            DvsLane(
+                gap_mask=dense(gap_on, bool, gap_on),
+                gap_fv=dense(last_val.astype(np.int64), np.int32, gap_on),
+                gap_intensity=dense(
+                    (last_val * gap_n).astype(np.float32), np.float32, gap_on
+                ),
+                gap_time=dense(
+                    (gap_n * ref).astype(np.float32), np.float32, gap_on
+                ),
+                tick_mask=dense(tick_on, bool, tick_on),
+                tick_fv=dense(new_val_c.astype(np.int64), np.int32, tick_on),
+                tick_intensity=dense(
+                    new_val_c.astype(np.float32), np.float32, tick_on
+                ),
+                tick_time=dense(
+                    np.full(len(i), float(ref), np.float32), np.float32, tick_on
+                ),
+            )
+        )
+    return lanes
+
+
+def slots_to_events(slot_d, slot_t, slot_m, width: int):
+    """Flatten one masked-interval's slots to (x, y, d, t) numpy arrays in
+    (pixel, slot) order — the per-pixel chronological order."""
+    m = np.asarray(slot_m)
+    k_idx, pix = np.nonzero(m)  # slot-major; reorder to pixel-major
+    order = np.argsort(pix * m.shape[0] + k_idx, kind="stable")
+    k_idx, pix = k_idx[order], pix[order]
+    d = np.asarray(slot_d)[k_idx, pix].astype(np.uint8)
+    t = np.asarray(slot_t)[k_idx, pix]
+    return (
+        (pix % width).astype(np.uint16),
+        (pix // width).astype(np.uint16),
+        d,
+        t,
+    )

@@ -102,11 +102,12 @@ class _S:
     @classmethod
     def unstack(cls, st: PixelState) -> "_S":
         s = cls()
-        s.nd = [st.node_d[i] for i in range(DEPTH)]
-        s.ni = [st.node_integ[i] for i in range(DEPTH)]
-        s.ndt = [st.node_dt[i] for i in range(DEPTH)]
-        s.bd = [st.best_d[i] for i in range(DEPTH)]
-        s.bdt = [st.best_dt[i] for i in range(DEPTH)]
+        depth = st.node_d.shape[0]  # arena depth baked into the state
+        s.nd = [st.node_d[i] for i in range(depth)]
+        s.ni = [st.node_integ[i] for i in range(depth)]
+        s.ndt = [st.node_dt[i] for i in range(depth)]
+        s.bd = [st.best_d[i] for i in range(depth)]
+        s.bdt = [st.best_dt[i] for i in range(depth)]
         s.length = st.length
         s.base_val = st.base_val
         s.c_thresh = st.c_thresh
@@ -141,21 +142,28 @@ class _S:
     def tail_pick(self, arrs, zero):
         """arrs[length-1] per pixel via unrolled selects."""
         out = jnp.full_like(arrs[0], zero)
-        for s in range(DEPTH):
+        for s in range(len(arrs)):
             out = jnp.where(self.length - 1 == s, arrs[s], out)
         return out
 
 
-def init_state(n_pixels: int, c_thresh: int = 10) -> PixelState:
+def init_state(
+    n_pixels: int, c_thresh: int = 10, depth: int = DEPTH
+) -> PixelState:
     """Fresh state as in PixelArena::new(1.0, coord) (ref: :69-87) — node d
-    = floor(log2(1.0)) = 0, c_thresh 10, c_increase_counter 1."""
+    = floor(log2(1.0)) = 0, c_thresh 10, c_increase_counter 1.
+
+    `depth` bounds the arena (the reference's SmallVec grows unbounded);
+    every kernel derives its unroll from the state's shape, so deeper
+    arenas (e.g. DVS gap cascades, ops/dvs_batch.py) just pass a larger
+    depth here. Depth overflow is counted in `state.overflow`."""
     z = lambda shape, dt: jnp.zeros(shape, dt)
     return PixelState(
-        node_d=z((DEPTH, n_pixels), _i32),
-        node_integ=z((DEPTH, n_pixels), _f32),
-        node_dt=z((DEPTH, n_pixels), _f32),
-        best_d=jnp.full((DEPTH, n_pixels), -1, _i32),
-        best_dt=z((DEPTH, n_pixels), _f32),
+        node_d=z((depth, n_pixels), _i32),
+        node_integ=z((depth, n_pixels), _f32),
+        node_dt=z((depth, n_pixels), _f32),
+        best_d=jnp.full((depth, n_pixels), -1, _i32),
+        best_dt=z((depth, n_pixels), _f32),
         length=jnp.ones((n_pixels,), _i32),
         base_val=z((n_pixels,), _i32),
         c_thresh=jnp.full((n_pixels,), c_thresh, _i32),
@@ -277,7 +285,7 @@ def _pop_top_event(s: _S, next_i, mask, p: TranscodeParams):
 
     # arena shift-left for best & synth cases; zero case leaves arena in place
     shift = mask & ~zero_case
-    for i in range(DEPTH - 1):
+    for i in range(len(s.nd) - 1):
         s.nd[i] = jnp.where(shift, s.nd[i + 1], s.nd[i])
         s.ni[i] = jnp.where(shift, s.ni[i + 1], s.ni[i])
         s.ndt[i] = jnp.where(shift, s.ndt[i + 1], s.ndt[i])
@@ -313,7 +321,7 @@ def _pop_best_events(s: _S, intensity, mask, p: TranscodeParams):
     slots = []
     any_emit = None
     tail_zeroed = jnp.zeros_like(mask)
-    for k in range(DEPTH):
+    for k in range(len(s.nd)):
         node_active = k < s.length
         has_best = s.bd[k] >= 0
         zero_ev = ~has_best & (s.ndt[k] > 0.0) & (s.ni[k] == 0.0)
@@ -407,7 +415,7 @@ def _integrate(s: _S, intensity, time, p: TranscodeParams):
         s.tail_pick(s.ni, 0.0) == 0.0
     )
     d_aim = _d_from_intensity(intensity)
-    for k in range(DEPTH):
+    for k in range(len(s.nd)):
         s.nd[k] = jnp.where(
             (s.length - 1 == k) & tail_virgin, d_aim, s.nd[k]
         )
@@ -423,7 +431,8 @@ def _integrate(s: _S, intensity, time, p: TranscodeParams):
         else jnp.zeros_like(s.popped_dtm)
     )
 
-    for k in range(DEPTH):
+    depth = len(s.nd)
+    for k in range(depth):
         d, integ, dt = s.nd[k], s.ni[k], s.ndt[k]
 
         total = (integ + i_cur).astype(_f32)
@@ -477,7 +486,7 @@ def _integrate(s: _S, intensity, time, p: TranscodeParams):
 
         # child creation at k+1 (ref: :344-355)
         child_d = _d_from_intensity(i_cur)
-        if k + 1 < DEPTH:
+        if k + 1 < depth:
             s.nd[k + 1] = jnp.where(fire, child_d, s.nd[k + 1])
             s.ni[k + 1] = jnp.where(fire, 0.0, s.ni[k + 1])
             s.ndt[k + 1] = jnp.where(fire, 0.0, s.ndt[k + 1])
@@ -495,7 +504,7 @@ def _integrate(s: _S, intensity, time, p: TranscodeParams):
             brk = brk | fire
         else:
             # continuous: child D override when remaining time > ref_time
-            if k + 1 < DEPTH:
+            if k + 1 < depth:
                 override = fire & ~collapse_brk & (t_cur > _f32(p.ref_time))
                 s.nd[k + 1] = jnp.where(
                     override, _d_from_intensity(i_cur), s.nd[k + 1]
@@ -504,7 +513,7 @@ def _integrate(s: _S, intensity, time, p: TranscodeParams):
         brk = brk | ((k + 1) >= s.length)
         active = active & ~brk
 
-    s.length = jnp.minimum(s.length, DEPTH)  # overflow containment
+    s.length = jnp.minimum(s.length, depth)  # overflow containment
     s.dtm_reached = s.ndt[0] >= _f32(p.delta_t_max)
     s.need_pop = (s.nd[0] == D_MAX) | (s.dtm_reached & ~s.popped_dtm)
 

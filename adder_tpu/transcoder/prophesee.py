@@ -89,9 +89,13 @@ def decode_events_np(buf: bytes) -> tuple:
 
 
 class Prophesee:
-    """Prophesee RAW -> ADDER transcoder (ref: prophesee.rs:25-323)."""
+    """Prophesee RAW -> ADDER transcoder (ref: prophesee.rs:25-323).
 
-    def __init__(self, ref_time: int, input_path: str):
+    `batched=True` routes integration through the dense device kernel
+    (ops/dvs_batch.py) instead of the scalar per-event oracle; per-pixel
+    event streams are bit-identical between the two paths."""
+
+    def __init__(self, ref_time: int, input_path: str, batched: bool = False):
         self.reader = open(input_path, "rb")
         _, _, _, (h, w) = parse_header(self.reader)
         plane = PlaneSize(w, h, 1)
@@ -115,12 +119,22 @@ class Prophesee:
         self.dvs_last_ln_val = np.full(n, np.log1p(128.0 / 255.0), dtype=np.float64)
         self.running_intensities = np.full(plane.shape, 128, dtype=np.uint8)
 
-        # scalar oracle state per pixel (Continuous mode integration)
-        self._pixels = [
-            O.PixelArena(1.0, Coord(i % w, i // w, None)) for i in range(n)
-        ]
-        for px in self._pixels:
-            px.set_time_mode(TimeMode.AbsoluteT)
+        self.batched = batched
+        if batched:
+            from ..ops import integrate as ops_integrate
+
+            # DVS gap integrations cascade much deeper than framed intervals
+            # (intensity ~ 255 * gap_ticks); 16 levels cover minutes-long
+            # gaps, and state.overflow counts any deeper truncation
+            self._dev_state = ops_integrate.init_state(n, depth=16)
+            self._pixels = []
+        else:
+            # scalar oracle state per pixel (Continuous mode integration)
+            self._pixels = [
+                O.PixelArena(1.0, Coord(i % w, i // w, None)) for i in range(n)
+            ]
+            for px in self._pixels:
+                px.set_time_mode(TimeMode.AbsoluteT)
 
         self._event_buf: Optional[np.ndarray] = None
         self._event_pos = 0
@@ -130,8 +144,18 @@ class Prophesee:
 
     def crf(self, crf: int):
         self.video.update_crf(crf)
+        base = self.video.encoder.options.crf.get_parameters().c_thresh_baseline
+        if self.batched:
+            import jax.numpy as jnp
+
+            self._dev_state = self._dev_state._replace(
+                c_thresh=jnp.full_like(self._dev_state.c_thresh, base),
+                c_increase_counter=jnp.zeros_like(
+                    self._dev_state.c_increase_counter
+                ),
+            )
         for px in self._pixels:
-            px.c_thresh = self.video.encoder.options.crf.get_parameters().c_thresh_baseline
+            px.c_thresh = base
             px.c_increase_counter = 0
         return self
 
@@ -206,8 +230,129 @@ class Prophesee:
             self.running_t = max(self.running_t, int(t[sl].max()))
         return t[sl], x[sl], y[sl], p[sl]
 
+    # -- batched device path (ops/dvs_batch.py, SURVEY P5) --
+
+    def _tp(self):
+        from ..ops.integrate import TranscodeParams
+
+        v = self.video
+        crf = v.encoder.options.crf.get_parameters()
+        return TranscodeParams(
+            mode=int(Mode.Continuous),
+            multi_mode=int(v.pixel_multi_mode),
+            time_mode=int(TimeMode.AbsoluteT),
+            ref_time=int(v.ref_time),
+            delta_t_max=int(v.delta_t_max),
+            c_thresh_max=int(crf.c_thresh_max),
+            c_increase_velocity=max(int(crf.c_increase_velocity), 1),
+        )
+
+    def _masked_call(self, intensity, fv, time, mask, out: list):
+        import jax.numpy as jnp
+
+        from ..ops import dvs_batch as B
+
+        fn = B.make_masked_interval(self._tp())
+        st, sd, stt, sm, _ = fn(
+            self._dev_state,
+            jnp.asarray(intensity, jnp.float32),
+            jnp.asarray(fv, jnp.int32),
+            jnp.asarray(time, jnp.float32),
+            jnp.asarray(mask),
+        )
+        self._dev_state = st
+        out.append(B.slots_to_events(sd, stt, sm, self.plane.width))
+
+    @staticmethod
+    def _events_from_parts(parts) -> EventArray:
+        if not parts:
+            z = np.zeros(0, np.uint16)
+            return EventArray(z, z.copy(), np.zeros(0, np.uint8),
+                              np.zeros(0, np.uint8), np.zeros(0, np.uint32))
+        x = np.concatenate([p[0] for p in parts])
+        y = np.concatenate([p[1] for p in parts])
+        d = np.concatenate([p[2] for p in parts])
+        t = np.concatenate([p[3] for p in parts]).astype(np.uint32)
+        from ..core.types import NO_CHANNEL
+
+        return EventArray(x, y, np.full(len(x), NO_CHANNEL, np.uint8), d, t)
+
+    def _bootstrap_batched(self) -> EventArray:
+        n = self.plane.volume()
+        ref = self.video.ref_time
+        parts: list = []
+        for _ in range(2):
+            self._masked_call(
+                np.full(n, 128.0, np.float32),
+                np.full(n, 128, np.int32),
+                np.full(n, float(ref), np.float32),
+                np.ones(n, bool),
+                parts,
+            )
+        self.running_t = 2
+        arr = self._events_from_parts(parts)
+        self.video.encoder.ingest_event_array(arr)
+        return arr
+
+    def _consume_batched(self) -> EventArray:
+        from ..ops import dvs_batch as B
+
+        if self.running_t == 0:
+            self._bootstrap_batched()
+        batch = self._next_dvs_batch()
+        if batch is None:
+            self._end_events_batched()
+            raise EOFError("prophesee source exhausted")
+        ts, xs, ys, ps = batch
+        n = self.plane.volume()
+        lanes = B.plan_dvs_batch(
+            ts, xs, ys, ps, self.plane.width, n,
+            self.dvs_last_timestamps, self.dvs_last_ln_val,
+            self.camera_theta, self.video.ref_time,
+        )
+        parts: list = []
+        for lane in lanes:
+            if lane.gap_mask.any():
+                self._masked_call(
+                    lane.gap_intensity, lane.gap_fv, lane.gap_time,
+                    lane.gap_mask, parts,
+                )
+            if lane.tick_mask.any():
+                self._masked_call(
+                    lane.tick_intensity, lane.tick_fv, lane.tick_time,
+                    lane.tick_mask, parts,
+                )
+        arr = self._events_from_parts(parts)
+        self.video.encoder.ingest_event_array(arr)
+        if self._eof:
+            self._end_events_batched()
+        return arr
+
+    def _end_events_batched(self):
+        """Vectorized EOF flush (semantics of _end_events, ref:
+        prophesee.rs:325-365)."""
+        n = self.plane.volume()
+        ref = self.video.ref_time
+        gap = self.running_t - self.dvs_last_timestamps.astype(np.int64)
+        mask = gap > 0
+        last_val = (np.exp(self.dvs_last_ln_val) - 1.0) * 255.0
+        time_spanned = (gap * ref).astype(np.float64)
+        intensity = (last_val * time_spanned).astype(np.float32)
+        fv = np.clip(last_val, 0.0, 255.0).astype(np.int64).astype(np.int32)
+        parts: list = []
+        self._masked_call(
+            np.where(mask, intensity, 0.0).astype(np.float32),
+            np.where(mask, fv, 0),
+            np.where(mask, time_spanned, 0.0).astype(np.float32),
+            mask,
+            parts,
+        )
+        self.video.encoder.ingest_event_array(self._events_from_parts(parts))
+
     def consume(self) -> EventArray:
         """One view interval's worth of DVS events (ref: prophesee.rs:116-297)."""
+        if self.batched:
+            return self._consume_batched()
         if self.running_t == 0:
             self._bootstrap()
 

@@ -1,0 +1,146 @@
+"""Differential tests for the batched DVS device path (ops/dvs_batch.py).
+
+The batched path must reproduce the scalar-oracle Prophesee pipeline's
+per-pixel event streams bit-for-bit (the reference's own determinism
+contract for serial DVS processing, prophesee.rs:116-297).
+"""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from adder_tpu.codec.encoder import EncoderOptions, EncoderType
+from adder_tpu.core.types import (
+    Mode,
+    PixelMultiMode,
+    SourceCamera,
+    TimeMode,
+)
+from adder_tpu.ops import dvs_batch as B
+from adder_tpu.ops import integrate as K
+
+
+def test_masked_interval_restores_unmasked_pixels():
+    """Pixels outside the mask keep their state bit-for-bit, and emit no
+    slots; pixels inside the mask evolve exactly like a dense interval
+    over only those pixels."""
+    rng = np.random.default_rng(5)
+    n = 64
+    p = K.TranscodeParams(
+        mode=int(Mode.Continuous),
+        multi_mode=int(PixelMultiMode.Collapse),
+        ref_time=20,
+        delta_t_max=40,
+        c_thresh_max=10,
+        c_increase_velocity=1,
+    )
+    state = K.init_state(n)
+    # evolve everything a few steps so the state is non-trivial
+    for step in range(3):
+        inten = rng.integers(0, 256, n).astype(np.float32)
+        state, *_ = K.integrate_interval(
+            state, jnp.asarray(inten), jnp.asarray(inten.astype(np.int32)),
+            jnp.full((n,), 20.0, jnp.float32), p,
+        )
+    mask = rng.random(n) < 0.5
+    inten = rng.integers(0, 256, n).astype(np.float32)
+    tvec = np.full(n, 20.0, np.float32)
+    st2, sd, stt, sm, _ = B.masked_interval(
+        state, jnp.asarray(inten), jnp.asarray(inten.astype(np.int32)),
+        jnp.asarray(tvec), jnp.asarray(mask), p,
+    )
+    # unmasked pixels: identical state, no slots
+    for a, b in zip(state, st2):
+        a, b = np.asarray(a), np.asarray(b)
+        if a.ndim == 0:
+            continue
+        cols = ~mask
+        np.testing.assert_array_equal(a[..., cols], b[..., cols])
+    assert not np.asarray(sm)[:, ~mask].any()
+
+    # masked pixels: same as a dense interval over the submatrix
+    sub_idx = np.flatnonzero(mask)
+    sub_state = K.PixelState(*[
+        jnp.asarray(np.asarray(a)[..., sub_idx]) if np.asarray(a).ndim else a
+        for a in state
+    ])
+    st3, sd3, stt3, sm3, _ = K.integrate_interval(
+        sub_state, jnp.asarray(inten[sub_idx]),
+        jnp.asarray(inten[sub_idx].astype(np.int32)),
+        jnp.asarray(tvec[sub_idx]), p,
+    )
+    for a, b in zip(st3, st2):
+        a, b = np.asarray(a), np.asarray(b)
+        if a.ndim == 0:
+            continue
+        np.testing.assert_array_equal(a, b[..., sub_idx])
+    np.testing.assert_array_equal(np.asarray(sm3), np.asarray(sm)[:, sub_idx])
+    np.testing.assert_array_equal(
+        np.asarray(sd3)[np.asarray(sm3)],
+        np.asarray(sd)[:, sub_idx][np.asarray(sm3)],
+    )
+    np.testing.assert_array_equal(
+        np.asarray(stt3)[np.asarray(sm3)],
+        np.asarray(stt)[:, sub_idx][np.asarray(sm3)],
+    )
+
+
+def _make_raw(path, w, h, events):
+    with open(path, "wb") as f:
+        f.write(b"% Height " + str(h).encode() + b"\n")
+        f.write(b"% Width " + str(w).encode() + b"\n")
+        f.write(bytes([0, 8]))
+        rec = np.zeros((len(events), 2), dtype="<u4")
+        for i, (t, x, y, p) in enumerate(events):
+            rec[i, 0] = t
+            rec[i, 1] = (p << 28) | (y << 14) | x
+        f.write(rec.tobytes())
+
+
+def _run(path, batched, multi_mode):
+    from adder_tpu.transcoder.prophesee import Prophesee
+
+    src = Prophesee(20, str(path), batched=batched)
+    out = open(str(path) + (".b" if batched else ".o"), "wb")
+    src.write_out(
+        SourceCamera.Dvs, TimeMode.AbsoluteT, multi_mode, None,
+        EncoderType.Raw, EncoderOptions.default(src.plane), out,
+    )
+    streams = {}
+    while True:
+        try:
+            arr = src.consume()
+        except EOFError:
+            break
+        for x, y, d, t in zip(arr.x, arr.y, arr.d, arr.t):
+            streams.setdefault((int(x), int(y)), []).append((int(d), int(t)))
+    src.end_write_stream().close()
+    return streams
+
+
+@pytest.mark.parametrize(
+    "multi_mode", [PixelMultiMode.Collapse, PixelMultiMode.Normal]
+)
+def test_batched_matches_oracle(tmp_path, multi_mode):
+    w, h = 14, 10
+    rng = np.random.default_rng(3)
+    events = []
+    t = 10
+    for _ in range(300):
+        t += int(rng.integers(1, 1500))
+        events.append(
+            (t, int(rng.integers(0, w)), int(rng.integers(0, h)),
+             int(rng.integers(0, 2)))
+        )
+    raw = tmp_path / "diff.raw"
+    _make_raw(raw, w, h, events)
+
+    oracle = _run(raw, batched=False, multi_mode=multi_mode)
+    batched = _run(raw, batched=True, multi_mode=multi_mode)
+
+    assert set(oracle) == set(batched)
+    for key in sorted(oracle):
+        assert oracle[key] == batched[key], (
+            key, oracle[key][:6], batched[key][:6]
+        )
