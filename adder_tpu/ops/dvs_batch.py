@@ -59,7 +59,7 @@ def masked_interval(
     slots, running = I._interval_core(s, intensity, frame_val, time, p)
 
     m = mask
-    for k in range(I.DEPTH):
+    for k in range(len(s.nd)):
         s.nd[k] = jnp.where(m, s.nd[k], old.nd[k])
         s.ni[k] = jnp.where(m, s.ni[k], old.ni[k])
         s.ndt[k] = jnp.where(m, s.ndt[k], old.ndt[k])
@@ -212,4 +212,96 @@ def slots_to_events(slot_d, slot_t, slot_m, width: int):
         (pix // width).astype(np.uint16),
         d,
         t,
+    )
+
+
+# --- scanned batch dispatch --------------------------------------------------
+
+
+def _masked_substep(state, inten, fv, time, mask, p):
+    """masked_interval body reshaped for lax.scan consumption."""
+    st, sd, stt, sm, _ = masked_interval(state, inten, fv, time, mask, p)
+    return st, sd, stt, sm
+
+
+@functools.lru_cache(maxsize=32)
+def make_dvs_scan_step(p: I.TranscodeParams, take: int):
+    """One jitted dispatch per DVS batch: lax.scan over the lane axis, each
+    lane running its two masked sub-steps (gap, then source tick) and
+    compacting the emitted slots into a bounded event buffer — the same
+    compact/merge machinery the framed chunk path uses
+    (ops/integrate.py make_transcode_chunk).
+
+    Inputs are (L, N)-stacked DvsLane fields; returns
+    (state, buf_pixd (cap,), buf_t (cap,), total) with cap = 2*L*take.
+    total > cap or any sub-step exceeding `take` signals overflow (caller
+    falls back to the per-lane path)."""
+
+    def step_fn(state, gi, gf, gt, gm, ti, tf, tt, tm):
+        L = gi.shape[0]
+        cap = 2 * L * take
+
+        def lane_step(carry, xs):
+            st, bufs, offset, max_sub = carry
+            lgi, lgf, lgt, lgm, lti, ltf, ltt, ltm = xs
+            for inten, fv, tme, msk in (
+                (lgi, lgf, lgt, lgm),
+                (lti, ltf, ltt, ltm),
+            ):
+                st, sd, stt_, sm = _masked_substep(st, inten, fv, tme, msk, p)
+                take_i = min(take, sd.shape[0] * sd.shape[1])
+                pixd_i, t_i, n_ev = I._compact_interval(sd, stt_, sm, take_i)
+                max_sub = jnp.maximum(max_sub, n_ev)
+                bufs, offset = I._merge_prefix(
+                    bufs, offset, pixd_i, t_i, jnp.minimum(n_ev, take_i),
+                    take_i,
+                )
+            return (st, bufs, offset, max_sub), None
+
+        bufs0 = (
+            jnp.zeros((cap,), jnp.uint32),
+            jnp.zeros((cap,), jnp.uint32),
+        )
+        (state, bufs, total, max_sub), _ = jax.lax.scan(
+            lane_step,
+            (state, bufs0, jnp.zeros((), _i32), jnp.zeros((), _i32)),
+            (gi, gf, gt, gm, ti, tf, tt, tm),
+        )
+        return state, bufs[0], bufs[1], total, max_sub
+
+    return jax.jit(step_fn)
+
+
+def stack_lanes(lanes: list, pad_to: int):
+    """Stack DvsLane fields to (L, N) arrays, padding with no-op lanes."""
+    n = len(lanes[0].gap_mask)
+    L = pad_to
+
+    def field(name, dtype):
+        out = np.zeros((L, n), dtype)
+        for i, lane in enumerate(lanes):
+            out[i] = getattr(lane, name)
+        return out
+
+    return (
+        field("gap_intensity", np.float32),
+        field("gap_fv", np.int32),
+        field("gap_time", np.float32),
+        field("gap_mask", bool),
+        field("tick_intensity", np.float32),
+        field("tick_fv", np.int32),
+        field("tick_time", np.float32),
+        field("tick_mask", bool),
+    )
+
+
+def wire_to_events(pixd: np.ndarray, t: np.ndarray, width: int):
+    """Decode the (pix<<8|d, t) wire pairs back to (x, y, d, t)."""
+    pix = (pixd >> 8).astype(np.int64)
+    d = (pixd & 0xFF).astype(np.uint8)
+    return (
+        (pix % width).astype(np.uint16),
+        (pix // width).astype(np.uint16),
+        d,
+        t.astype(np.uint32),
     )
