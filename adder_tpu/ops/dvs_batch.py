@@ -305,3 +305,154 @@ def wire_to_events(pixd: np.ndarray, t: np.ndarray, width: int):
         d,
         t.astype(np.uint32),
     )
+
+
+# --- DAVIS variant (ref: adder-codec-rs/src/transcoder/source/davis.rs) -----
+
+
+def davis_event_interval(
+    state: I.PixelState,
+    first_integration: jax.Array,  # (N,) f32
+    dt_ticks: jax.Array,  # (N,) f32
+    frame_val: jax.Array,  # (N,) f32 - post-ln-step, clamped
+    fv8: jax.Array,  # (N,) i32  - int(frame_val) (host-truncated)
+    mask: jax.Array,  # (N,) bool
+    p: I.TranscodeParams,
+):
+    """One DAVIS DVS event per masked pixel. The op order differs from the
+    standard interval (davis.rs:235-465): [pop_top?, integrate, pop_top?]
+    over the held intensity, THEN the contrast stage against the post-step
+    log intensity. Composed from the same primitives as _interval_core."""
+    old = I._S.unstack(state)
+    s = I._S.unstack(state)
+    inten = first_integration.astype(_f32)
+
+    d0, t0, m0 = I._pop_top_event(s, inten, s.need_pop, p)
+    I._integrate(s, inten, dt_ticks, p)
+    d8, t8, m8 = I._pop_top_event(s, inten, s.need_pop, p)
+
+    fv_f = frame_val.astype(_f32)
+    bv, c = s.base_val, s.c_thresh
+    changed = mask & (
+        (fv8 < jnp.maximum(bv - c, 0)) | (fv8 > jnp.minimum(bv + c, 255))
+    )
+    pop_slots = I._pop_best_events(s, fv_f, changed, p)
+    s.base_val = jnp.where(changed, fv8, s.base_val)
+    d7, t7, m7 = I._set_d_for_continuous(s, fv_f, changed, p)
+
+    m = mask
+    for k in range(len(s.nd)):
+        s.nd[k] = jnp.where(m, s.nd[k], old.nd[k])
+        s.ni[k] = jnp.where(m, s.ni[k], old.ni[k])
+        s.ndt[k] = jnp.where(m, s.ndt[k], old.ndt[k])
+        s.bd[k] = jnp.where(m, s.bd[k], old.bd[k])
+        s.bdt[k] = jnp.where(m, s.bdt[k], old.bdt[k])
+    s.length = jnp.where(m, s.length, old.length)
+    s.base_val = jnp.where(m, s.base_val, old.base_val)
+    s.c_thresh = jnp.where(m, s.c_thresh, old.c_thresh)
+    s.cic = jnp.where(m, s.cic, old.cic)
+    s.lft = jnp.where(m, s.lft, old.lft)
+    s.running_t = jnp.where(m, s.running_t, old.running_t)
+    s.need_pop = jnp.where(m, s.need_pop, old.need_pop)
+    s.dtm_reached = jnp.where(m, s.dtm_reached, old.dtm_reached)
+    s.popped_dtm = jnp.where(m, s.popped_dtm, old.popped_dtm)
+
+    # per-pixel chronological slot order for this event
+    slots = [(d0, t0, m0), (d8, t8, m8)] + list(pop_slots) + [(d7, t7, m7)]
+    slot_d = jnp.stack([x[0] for x in slots]).astype(_i32)
+    slot_t = jnp.stack([x[1] for x in slots]).astype(jnp.uint32)
+    slot_m = jnp.stack([x[2] for x in slots]) & m
+    return s.restack(), slot_d, slot_t, slot_m
+
+
+@functools.lru_cache(maxsize=32)
+def make_davis_event_interval(p: I.TranscodeParams):
+    return jax.jit(
+        lambda st, fi, dt, fv, f8, m: davis_event_interval(
+            st, fi, dt, fv, f8, m, p
+        )
+    )
+
+
+def _clamp_u8_vec(val: np.ndarray, ln: np.ndarray):
+    """Vectorized utils.cv.clamp_u8."""
+    lo = val <= 0.0
+    hi = val > 255.0
+    v = np.where(lo, 0.0, np.where(hi, 255.0, val))
+    l2 = np.where(lo, 0.0, np.where(hi, float(np.log1p(1.0)), ln))
+    return v, l2
+
+
+class DavisLane(NamedTuple):
+    mask: np.ndarray  # (N,) bool
+    first_integration: np.ndarray  # (N,) f32
+    dt_ticks: np.ndarray  # (N,) f32
+    frame_val: np.ndarray  # (N,) f32
+    fv8: np.ndarray  # (N,) i32
+
+
+def plan_davis_events(
+    ts: np.ndarray,  # event times, microseconds
+    xs: np.ndarray,
+    ys: np.ndarray,
+    ons: np.ndarray,  # polarity booleans
+    width: int,
+    n: int,
+    last_t: np.ndarray,  # (N,) int64 microseconds, updated in place
+    last_ln: np.ndarray,  # (N,) float64, updated in place
+    dvs_c: float,
+    ref: int,
+    ticks_per_micro: float,
+) -> list:
+    """Lane planner for DAVIS DVS events, replaying integrate_dvs_events'
+    sequential ln chain (ref: davis.rs:235-465; the ln step is
+    MULTIPLICATIVE: last_ln *= exp(+-c))."""
+    pix = ys.astype(np.int64) * width + xs.astype(np.int64)
+    order = np.argsort(pix, kind="stable")
+    sp = pix[order]
+    seg_start = np.ones(len(sp), bool)
+    seg_start[1:] = sp[1:] != sp[:-1]
+    idx = np.arange(len(sp))
+    seg_base = np.where(seg_start, idx, 0)
+    np.maximum.accumulate(seg_base, out=seg_base)
+    lane_of = np.empty(len(sp), np.int64)
+    lane_of[order] = idx - seg_base
+
+    lanes = []
+    k_max = int(lane_of.max()) + 1 if len(lane_of) else 0
+    for k in range(k_max):
+        sel = lane_of == k
+        i = pix[sel]
+        t = ts[sel].astype(np.int64)
+        on = ons[sel].astype(bool)
+        lt = last_t[i]
+        dt_us = t - lt
+        active = ~((dt_us == t) | (dt_us < 0))  # ref: davis.rs:300-305
+
+        ln = last_ln[i]
+        last_val = (np.exp(ln) - 1.0) * 255.0
+        dt_ticks = dt_us.astype(np.float64) * ticks_per_micro
+        first_int = np.maximum(last_val / ref * dt_ticks, 0.0)
+
+        ln2 = ln * np.exp(np.where(on, dvs_c, -dvs_c))
+        fval = (np.exp(ln2) - 1.0) * 255.0
+        fval, ln2 = _clamp_u8_vec(fval, ln2)
+
+        last_ln[i] = np.where(active, ln2, ln)
+        last_t[i] = t  # set on the skip path too (davis.rs:303)
+
+        def dense(vals, dtype):
+            out = np.zeros(n, dtype)
+            out[i[active]] = vals[active]
+            return out
+
+        lanes.append(
+            DavisLane(
+                mask=dense(np.ones(len(i), bool), bool),
+                first_integration=dense(first_int.astype(np.float32), np.float32),
+                dt_ticks=dense(dt_ticks.astype(np.float32), np.float32),
+                frame_val=dense(fval.astype(np.float32), np.float32),
+                fv8=dense(fval.astype(np.int64), np.int32),
+            )
+        )
+    return lanes

@@ -77,6 +77,7 @@ class Davis:
         tps: int = 255_000_000,
         delta_t_max: Optional[int] = None,
         mode: TranscoderMode = TranscoderMode.RawDavis,
+        batched: bool = False,
     ):
         self.provider = provider
         self.mode = mode
@@ -89,12 +90,23 @@ class Davis:
         n = self.plane.volume()
         self.dvs_last_timestamps = np.zeros(n, dtype=np.int64)
         self.dvs_last_ln_val = np.full(n, np.log1p(0.5), dtype=np.float64)
-        self._pixels = [
-            O.PixelArena(1.0, Coord(i % self.plane.width, i // self.plane.width, None))
-            for i in range(n)
-        ]
-        for px in self._pixels:
-            px.set_time_mode(TimeMode.AbsoluteT)
+        self.batched = batched
+        if batched:
+            from ..ops import integrate as ops_integrate
+
+            # deep arenas for gap cascades, as in the Prophesee batched path
+            self._dev_state = ops_integrate.init_state(n, depth=16)
+            self._pixels = []
+        else:
+            self._pixels = [
+                O.PixelArena(
+                    1.0,
+                    Coord(i % self.plane.width, i // self.plane.width, None),
+                )
+                for i in range(n)
+            ]
+            for px in self._pixels:
+                px.set_time_mode(TimeMode.AbsoluteT)
         self._iter = iter(provider)
         self._first_frame = True
 
@@ -184,33 +196,159 @@ class Davis:
             )
             self.dvs_last_ln_val[i] = np.log1p(fv / 255.0)
 
+    # -- batched device path (ops/dvs_batch.py) --
+
+    def _tp(self):
+        from ..ops.integrate import TranscodeParams
+
+        v = self.video
+        crf = v.encoder.options.crf.get_parameters()
+        return TranscodeParams(
+            mode=int(Mode.Continuous),
+            multi_mode=int(v.pixel_multi_mode),
+            time_mode=int(TimeMode.AbsoluteT),
+            ref_time=int(v.ref_time),
+            delta_t_max=int(v.delta_t_max),
+            c_thresh_max=int(crf.c_thresh_max),
+            c_increase_velocity=max(int(crf.c_increase_velocity), 1),
+        )
+
+    def _integrate_dvs_events_batched(self, events, parts: list) -> None:
+        import jax.numpy as jnp
+
+        from ..ops import dvs_batch as B
+
+        if not events:
+            return
+        ts = np.array([e.t for e in events], np.int64)
+        xs = np.array([e.x for e in events], np.uint16)
+        ys = np.array([e.y for e in events], np.uint16)
+        ons = np.array([e.on for e in events], bool)
+        lanes = B.plan_davis_events(
+            ts, xs, ys, ons, self.plane.width, self.plane.volume(),
+            self.dvs_last_timestamps, self.dvs_last_ln_val,
+            self.dvs_c, self.video.ref_time, self.video.tps / 1e6,
+        )
+        fn = B.make_davis_event_interval(self._tp())
+        for lane in lanes:
+            if not lane.mask.any():
+                continue
+            st, sd, stt, sm = fn(
+                self._dev_state,
+                jnp.asarray(lane.first_integration),
+                jnp.asarray(lane.dt_ticks),
+                jnp.asarray(lane.frame_val),
+                jnp.asarray(lane.fv8),
+                jnp.asarray(lane.mask),
+            )
+            self._dev_state = st
+            parts.append(B.slots_to_events(sd, stt, sm, self.plane.width))
+
+    def _masked_call(self, intensity, fv, time, mask, parts: list) -> None:
+        import jax.numpy as jnp
+
+        from ..ops import dvs_batch as B
+
+        fn = B.make_masked_interval(self._tp())
+        st, sd, stt, sm, _ = fn(
+            self._dev_state,
+            jnp.asarray(intensity, jnp.float32),
+            jnp.asarray(fv, jnp.int32),
+            jnp.asarray(time, jnp.float32),
+            jnp.asarray(mask),
+        )
+        self._dev_state = st
+        parts.append(B.slots_to_events(sd, stt, sm, self.plane.width))
+
+    def _integrate_frame_gaps_batched(self, start_of_frame_us, parts) -> None:
+        tpm = self.video.tps / 1e6
+        ref = self.video.ref_time
+        gap_us = start_of_frame_us - self.dvs_last_timestamps
+        mask = gap_us > 0
+        last_val = (np.exp(self.dvs_last_ln_val) - 1.0) * 255.0
+        dt_ticks = gap_us.astype(np.float64) * tpm
+        intensity = np.maximum(last_val / ref * dt_ticks, 0.0)
+        fv = np.clip(last_val, 0.0, 255.0).astype(np.int64)
+        self._masked_call(
+            np.where(mask, intensity, 0.0).astype(np.float32),
+            np.where(mask, fv, 0).astype(np.int32),
+            np.where(mask, dt_ticks, 0.0).astype(np.float32),
+            mask, parts,
+        )
+        self.dvs_last_timestamps[mask] = start_of_frame_us
+
+    def _integrate_frame_batched(self, frame, exposure_us, parts) -> None:
+        tpm = self.video.tps / 1e6
+        ref = self.video.ref_time
+        dt_ticks = max(exposure_us, 1) * tpm
+        fv = frame.reshape(-1).astype(np.int64)
+        intensity = (fv.astype(np.float64) / ref * dt_ticks).astype(np.float32)
+        n = self.plane.volume()
+        self._masked_call(
+            intensity, fv.astype(np.int32),
+            np.full(n, dt_ticks, np.float32), np.ones(n, bool), parts,
+        )
+        self.dvs_last_ln_val[:] = np.log1p(fv / 255.0)
+
     def consume(self) -> EventArray:
         packet = next(self._iter, None)
         if packet is None:
             raise EOFError("davis source exhausted")
         buffer: list = []
+        parts: list = []
         if self.mode in (TranscoderMode.RawDavis, TranscoderMode.RawDvs):
-            self.integrate_dvs_events(packet.events, buffer)
+            if self.batched:
+                self._integrate_dvs_events_batched(packet.events, parts)
+            else:
+                self.integrate_dvs_events(packet.events, buffer)
         if self.mode in (TranscoderMode.Framed, TranscoderMode.RawDavis):
             if packet.frame is not None:
                 if self.mode == TranscoderMode.RawDavis:
-                    self.integrate_frame_gaps(packet.frame_start_us, buffer)
-                self.integrate_frame(
-                    packet.frame,
-                    packet.frame_end_us - packet.frame_start_us,
-                    buffer,
-                )
+                    if self.batched:
+                        self._integrate_frame_gaps_batched(
+                            packet.frame_start_us, parts
+                        )
+                    else:
+                        self.integrate_frame_gaps(
+                            packet.frame_start_us, buffer
+                        )
+                if self.batched:
+                    self._integrate_frame_batched(
+                        packet.frame,
+                        packet.frame_end_us - packet.frame_start_us,
+                        parts,
+                    )
+                else:
+                    self.integrate_frame(
+                        packet.frame,
+                        packet.frame_end_us - packet.frame_start_us,
+                        buffer,
+                    )
                 np.copyto(
                     self.dvs_last_timestamps,
                     np.maximum(self.dvs_last_timestamps, packet.frame_end_us),
                 )
-        arr = EventArray.from_events(buffer)
+        if self.batched:
+            from .prophesee import Prophesee
+
+            arr = Prophesee._events_from_parts(parts)
+        else:
+            arr = EventArray.from_events(buffer)
         self.video.encoder.ingest_event_array(arr)
         return arr
 
     def crf(self, crf: int):
         self.video.update_crf(crf)
         base = self.video.encoder.options.crf.get_parameters().c_thresh_baseline
+        if self.batched:
+            import jax.numpy as jnp
+
+            self._dev_state = self._dev_state._replace(
+                c_thresh=jnp.full_like(self._dev_state.c_thresh, base),
+                c_increase_counter=jnp.zeros_like(
+                    self._dev_state.c_increase_counter
+                ),
+            )
         for px in self._pixels:
             px.c_thresh = base
             px.c_increase_counter = 0

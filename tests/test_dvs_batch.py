@@ -144,3 +144,65 @@ def test_batched_matches_oracle(tmp_path, multi_mode):
         assert oracle[key] == batched[key], (
             key, oracle[key][:6], batched[key][:6]
         )
+
+
+@pytest.mark.parametrize(
+    "mode_name", ["RawDavis", "RawDvs"]
+)
+def test_davis_batched_matches_oracle(mode_name):
+    """Davis batched path (davis_event_interval + dense frame/gap calls)
+    must reproduce the oracle's per-pixel event streams exactly."""
+    from adder_tpu.transcoder.davis import (
+        ArrayDavisProvider,
+        Davis,
+        DavisPacket,
+        DvsEvent,
+        TranscoderMode,
+    )
+    from adder_tpu.core.types import PlaneSize
+
+    mode = TranscoderMode[mode_name]
+    H, W = 12, 14
+    plane = PlaneSize(W, H, 1)
+    rng = np.random.default_rng(9)
+
+    def frame():
+        return rng.integers(40, 200, (H, W)).astype(np.uint8)
+
+    def burst(t0, t1, n):
+        evs = [
+            DvsEvent(t=int(t), x=int(rng.integers(0, W)),
+                     y=int(rng.integers(0, H)), on=bool(rng.integers(0, 2)))
+            for t in sorted(rng.integers(t0, t1, n))
+        ]
+        return evs
+
+    packets = [
+        DavisPacket(frame(), 1000, 3000, burst(10, 900, 60)),
+        DavisPacket(frame(), 6000, 8000, burst(3100, 5900, 80)),
+        DavisPacket(None, 0, 0, burst(8100, 12000, 70)),
+        DavisPacket(frame(), 15000, 17000, burst(12100, 14900, 50)),
+    ]
+
+    def run(batched):
+        src = Davis(ArrayDavisProvider(packets, plane), ref_time=255,
+                    mode=mode, batched=batched)
+        streams = {}
+        while True:
+            try:
+                arr = src.consume()
+            except EOFError:
+                break
+            for x, y, d, t in zip(arr.x, arr.y, arr.d, arr.t):
+                streams.setdefault((int(x), int(y)), []).append(
+                    (int(d), int(t))
+                )
+        return streams
+
+    oracle = run(False)
+    batched = run(True)
+    assert set(oracle) == set(batched)
+    for key in sorted(oracle):
+        assert oracle[key] == batched[key], (
+            key, oracle[key][:6], batched[key][:6]
+        )
