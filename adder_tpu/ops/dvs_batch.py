@@ -456,3 +456,59 @@ def plan_davis_events(
             )
         )
     return lanes
+
+
+@functools.lru_cache(maxsize=32)
+def make_davis_scan_step(p: I.TranscodeParams, take: int):
+    """All DAVIS event lanes of a packet in one device dispatch (scan over
+    the lane axis + per-lane compaction; see make_dvs_scan_step)."""
+
+    def step_fn(state, fi, dt, fv, f8, m):
+        L = fi.shape[0]
+        cap = L * take
+
+        def lane_step(carry, xs):
+            st, bufs, offset, max_sub = carry
+            lfi, ldt, lfv, lf8, lm = xs
+            st, sd, stt_, sm = davis_event_interval(
+                st, lfi, ldt, lfv, lf8, lm, p
+            )
+            take_i = min(take, sd.shape[0] * sd.shape[1])
+            pixd_i, t_i, n_ev = I._compact_interval(sd, stt_, sm, take_i)
+            max_sub = jnp.maximum(max_sub, n_ev)
+            bufs, offset = I._merge_prefix(
+                bufs, offset, pixd_i, t_i, jnp.minimum(n_ev, take_i), take_i
+            )
+            return (st, bufs, offset, max_sub), None
+
+        bufs0 = (
+            jnp.zeros((cap,), jnp.uint32),
+            jnp.zeros((cap,), jnp.uint32),
+        )
+        (state, bufs, total, max_sub), _ = jax.lax.scan(
+            lane_step,
+            (state, bufs0, jnp.zeros((), _i32), jnp.zeros((), _i32)),
+            (fi, dt, fv, f8, m),
+        )
+        return state, bufs[0], bufs[1], total, max_sub
+
+    return jax.jit(step_fn)
+
+
+def stack_davis_lanes(lanes: list, pad_to: int):
+    """Stack DavisLane fields to (L, N), padding with no-op lanes."""
+    n = len(lanes[0].mask)
+
+    def field(name, dtype):
+        out = np.zeros((pad_to, n), dtype)
+        for i, lane in enumerate(lanes):
+            out[i] = getattr(lane, name)
+        return out
+
+    return (
+        field("first_integration", np.float32),
+        field("dt_ticks", np.float32),
+        field("frame_val", np.float32),
+        field("fv8", np.int32),
+        field("mask", bool),
+    )

@@ -229,20 +229,28 @@ class Davis:
             self.dvs_last_timestamps, self.dvs_last_ln_val,
             self.dvs_c, self.video.ref_time, self.video.tps / 1e6,
         )
-        fn = B.make_davis_event_interval(self._tp())
-        for lane in lanes:
-            if not lane.mask.any():
-                continue
-            st, sd, stt, sm = fn(
-                self._dev_state,
-                jnp.asarray(lane.first_integration),
-                jnp.asarray(lane.dt_ticks),
-                jnp.asarray(lane.frame_val),
-                jnp.asarray(lane.fv8),
-                jnp.asarray(lane.mask),
+        lanes = [lane for lane in lanes if lane.mask.any()]
+        if not lanes:
+            return
+        # one scanned dispatch for all lanes; compile shapes sticky-grow
+        K = int(self._dev_state.node_d.shape[0]) + 3
+        max_active = max(int(lane.mask.sum()) for lane in lanes)
+        take = 1 << (max(64, max_active * K) - 1).bit_length()
+        take = self._scan_take = max(take, getattr(self, "_scan_take", 0))
+        L_pad = 1 << (len(lanes) - 1).bit_length()
+        L_pad = self._scan_lpad = max(L_pad, getattr(self, "_scan_lpad", 0))
+        fn = B.make_davis_scan_step(self._tp(), take)
+        stacked = [jnp.asarray(a) for a in B.stack_davis_lanes(lanes, L_pad)]
+        st, pixd, t, total, max_sub = fn(self._dev_state, *stacked)
+        total_i = int(total)
+        assert int(max_sub) <= take  # unreachable: take >= active_pixels * K
+        self._dev_state = st
+        parts.append(
+            B.wire_to_events(
+                np.asarray(pixd)[:total_i], np.asarray(t)[:total_i],
+                self.plane.width,
             )
-            self._dev_state = st
-            parts.append(B.slots_to_events(sd, stt, sm, self.plane.width))
+        )
 
     def _masked_call(self, intensity, fv, time, mask, parts: list) -> None:
         import jax.numpy as jnp
