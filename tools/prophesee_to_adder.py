@@ -18,9 +18,14 @@ def main():
     p.add_argument("--ref-time", type=int, default=20)
     p.add_argument("--crf", type=int, default=3)
     p.add_argument("--max-intervals", type=int, default=0)
+    p.add_argument(
+        "--batched", action="store_true",
+        help="integrate on the dense device kernel (ops/dvs_batch.py) "
+             "instead of the scalar per-event oracle",
+    )
     args = p.parse_args()
 
-    src = Prophesee(args.ref_time, args.input)
+    src = Prophesee(args.ref_time, args.input, batched=args.batched)
     src.crf(args.crf)
     src.write_out(
         SourceCamera.Dvs,
