@@ -206,3 +206,43 @@ def test_davis_batched_matches_oracle(mode_name):
         assert oracle[key] == batched[key], (
             key, oracle[key][:6], batched[key][:6]
         )
+
+
+def test_davis_framed_mode_batched():
+    """Framed transcoder mode (APS frames only) through the batched path
+    matches the oracle too (exercises _integrate_frame_batched alone)."""
+    from adder_tpu.transcoder.davis import (
+        ArrayDavisProvider,
+        Davis,
+        DavisPacket,
+        TranscoderMode,
+    )
+    from adder_tpu.core.types import PlaneSize
+
+    H, W = 10, 12
+    plane = PlaneSize(W, H, 1)
+    rng = np.random.default_rng(4)
+    packets = [
+        DavisPacket(rng.integers(20, 230, (H, W)).astype(np.uint8),
+                    1000 + 5000 * i, 3000 + 5000 * i, [])
+        for i in range(4)
+    ]
+
+    def run(batched):
+        src = Davis(ArrayDavisProvider(packets, plane), ref_time=255,
+                    mode=TranscoderMode.Framed, batched=batched)
+        streams = {}
+        while True:
+            try:
+                arr = src.consume()
+            except EOFError:
+                break
+            for x, y, d, t in zip(arr.x, arr.y, arr.d, arr.t):
+                streams.setdefault((int(x), int(y)), []).append(
+                    (int(d), int(t))
+                )
+        return streams
+
+    oracle = run(False)
+    batched = run(True)
+    assert oracle == batched and len(oracle) > 0
