@@ -81,8 +81,28 @@ def _get_lib():
             u16p, u16p, u8p, u8p, u32p, ctypes.c_size_t,
         ]
         lib.adder_free.argtypes = [ctypes.POINTER(ctypes.c_uint8)]
+        lib.adder_event_drop_ema.restype = ctypes.c_double
+        lib.adder_event_drop_ema.argtypes = [
+            ctypes.c_size_t, ctypes.c_double, ctypes.c_double,
+            ctypes.c_double, ctypes.c_double, u8p,
+        ]
         _lib = lib
         return lib
+
+
+def event_drop_ema(
+    n: int, rate: float, alpha: float, t_diff: float, target: float
+) -> tuple[np.ndarray, float]:
+    """Run the EventDrop EMA recurrence over n events natively
+    (ref: encoder.rs:234-253). Returns (keep mask, final rate); bit-identical
+    to the scalar double recurrence."""
+    lib = _get_lib()
+    keep = np.empty(n, dtype=np.uint8)
+    new_rate = lib.adder_event_drop_ema(
+        n, rate, alpha, (1.0 - alpha) / t_diff, target,
+        _ptr(keep, ctypes.c_uint8),
+    )
+    return keep.view(bool), float(new_rate)
 
 
 def _ptr(arr, ctype):

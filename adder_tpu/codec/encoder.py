@@ -195,26 +195,23 @@ class Encoder:
 
     def _apply_event_drop(self, events: EventArray) -> EventArray:
         """EMA rate limiter (ref: encoder.rs:234-253). Wall-clock based, like
-        the reference; applied per-batch with the same recurrence."""
+        the reference; applied per-batch with the same recurrence, run
+        natively (the recurrence is serially data-dependent — each event's
+        keep decision feeds the next rate — so it lives in C++ next to the
+        entropy coder rather than as a per-event Python loop)."""
         drop = self.options.event_drop
         if drop.mode != "manual":
             return events
-        keep = np.ones(len(events), dtype=bool)
-        rate = self._current_event_rate
-        last = self._last_event_ts
-        alpha = drop.alpha
+        from .compressed import event_drop_ema
+
         now = time.monotonic()
         # Events inside one batch arrive "simultaneously"; spread the batch
         # over the elapsed interval to keep the recurrence meaningful.
-        t_diff = max((now - last) / max(len(events), 1), 1e-9)
-        for i in range(len(events)):
-            new_rate = alpha * rate + (1.0 - alpha) / t_diff
-            if new_rate > drop.target_event_rate:
-                rate *= alpha
-                keep[i] = False
-            else:
-                rate = new_rate
-        self._current_event_rate = rate
+        t_diff = max((now - self._last_event_ts) / max(len(events), 1), 1e-9)
+        keep, self._current_event_rate = event_drop_ema(
+            len(events), self._current_event_rate, drop.alpha, t_diff,
+            drop.target_event_rate,
+        )
         self._last_event_ts = now
         return events[keep] if not keep.all() else events
 

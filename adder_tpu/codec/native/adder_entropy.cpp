@@ -747,4 +747,24 @@ long adder_decompress_adu(const uint8_t* blob, size_t blob_len, uint16_t width,
 
 void adder_free(uint8_t* p) { std::free(p); }
 
+// EventDrop EMA rate limiter over an event batch (ref: encoder.rs:234-253).
+// IEEE double arithmetic matches the Python-scalar recurrence bit-for-bit,
+// so the keep-set is identical; this just removes the per-event interpreter
+// cost (million-event batches drop in ~ms).
+double adder_event_drop_ema(size_t n, double rate, double alpha,
+                            double instant_rate /* (1-alpha)/t_diff */,
+                            double target, uint8_t* keep_out) {
+    for (size_t i = 0; i < n; i++) {
+        double new_rate = alpha * rate + instant_rate;
+        if (new_rate > target) {
+            rate *= alpha;
+            keep_out[i] = 0;
+        } else {
+            rate = new_rate;
+            keep_out[i] = 1;
+        }
+    }
+    return rate;
+}
+
 }  // extern "C"

@@ -265,3 +265,37 @@ def test_event_drop_manual(tmp_path):
     kept = open_file_decoder(str(path)).digest_all()
     # a 10 ev/s target against a burst of 10k must drop nearly everything
     assert len(kept) < 10000
+
+
+def test_event_drop_ema_matches_scalar_recurrence():
+    """The native EMA keep-set is bit-identical to the scalar double
+    recurrence (ref: encoder.rs:234-253) and handles 1M events quickly."""
+    import time as _time
+
+    from adder_tpu.codec.compressed import event_drop_ema
+
+    rng = np.random.default_rng(3)
+    for alpha, target, t_diff, rate0 in [
+        (0.9, 10.0, 1e-6, 0.0),
+        (0.999, 5e5, 2e-6, 1e5),
+        (0.5, 1e9, 1e-3, 0.0),  # nothing dropped
+        (0.7, 0.0, 1.0, 50.0),  # everything dropped
+    ]:
+        n = 4096
+        keep_ref = np.ones(n, dtype=bool)
+        rate = rate0
+        for i in range(n):
+            new_rate = alpha * rate + (1.0 - alpha) / t_diff
+            if new_rate > target:
+                rate *= alpha
+                keep_ref[i] = False
+            else:
+                rate = new_rate
+        keep, final = event_drop_ema(n, rate0, alpha, t_diff, target)
+        assert np.array_equal(keep, keep_ref)
+        assert final == rate
+
+    t0 = _time.perf_counter()
+    keep, _ = event_drop_ema(1_000_000, 0.0, 0.99, 1e-6, 5e5)
+    assert (_time.perf_counter() - t0) < 0.5
+    assert 0 < keep.sum() < 1_000_000
