@@ -16,6 +16,7 @@ ADU order without a priority queue.
 from __future__ import annotations
 
 import ctypes
+import io
 import os
 import pathlib
 import subprocess
@@ -26,7 +27,15 @@ from typing import BinaryIO, Optional
 import numpy as np
 
 from ..core.types import NO_CHANNEL, EventArray
-from .header import MAGIC_COMPRESSED, CodecMetadata, Eof, encode_header, event_size_for_plane
+from .header import (
+    MAGIC_COMPRESSED,
+    CodecError,
+    CodecMetadata,
+    Eof,
+    SeekError,
+    encode_header,
+    event_size_for_plane,
+)
 
 _NATIVE_DIR = pathlib.Path(__file__).resolve().parent / "native"
 _lib = None
@@ -168,6 +177,8 @@ def decompress_adu(
             _ptr(cs, ctypes.c_uint8), _ptr(ds, ctypes.c_uint8),
             _ptr(ts, ctypes.c_uint32), cap,
         )
+        if n == -2:
+            raise CodecError("corrupt compressed ADU: event cap exceeded")
         if n >= 0:
             return EventArray(xs[:n], ys[:n], cs[:n], ds[:n], ts[:n])
         cap *= 4
@@ -272,14 +283,24 @@ class CompressedInput:
     def __init__(self, meta: CodecMetadata, reader: BinaryIO):
         self.meta = meta
         self.reader = reader
-        self.start_t = 0
         self.dt_ref = meta.ref_interval
         self.num_intervals = max(meta.adu_interval, 1)
         self._queue = EventArray.empty()
         self._queue_pos = 0
-        self._first = True
+        self._adu_idx = 0  # index of the NEXT ADU to read from the stream
+        # byte offset -> ADU index; seeds the seek table with the first
+        # boundary (right after the header); later boundaries are recorded
+        # as ADUs stream past (or discovered by scan_adu_boundaries)
+        self._boundaries = {meta.header_size: 0}
+
+    @property
+    def start_t(self) -> int:
+        """start_t of the most recently decoded ADU (external tracking, like
+        the reference: the blob's own coded start_t bytes are ignored)."""
+        return max(self._adu_idx - 1, 0) * self.dt_ref * self.num_intervals
 
     def _read_adu(self) -> bool:
+        pos = self.reader.tell()
         lenb = self.reader.read(4)
         if len(lenb) < 4:
             return False
@@ -287,16 +308,55 @@ class CompressedInput:
         blob = self.reader.read(n)
         if len(blob) < n:
             return False
-        if not self._first:
-            self.start_t += self.dt_ref * self.num_intervals
-        self._first = False
+        self._boundaries[pos] = self._adu_idx
+        start_t = self._adu_idx * self.dt_ref * self.num_intervals
+        self._adu_idx += 1
+        self._boundaries[self.reader.tell()] = self._adu_idx
         plane = self.meta.plane
         self._queue = decompress_adu(
             blob, plane.width, plane.height, plane.channels,
-            self.start_t, self.dt_ref, self.num_intervals,
+            start_t, self.dt_ref, self.num_intervals,
         )
         self._queue_pos = 0
         return True
+
+    def scan_adu_boundaries(self) -> list[int]:
+        """Walk the length-prefixed ADU frames from the current position
+        without decompressing, filling the seek table. Returns all known
+        boundary offsets in order (ref: stream.rs:394-400 — `addec` streams
+        are seekable only at ADU boundaries)."""
+        pos0 = self.reader.tell()
+        pos = min(self._boundaries)
+        idx = self._boundaries[pos]
+        self.reader.seek(pos)
+        while True:
+            lenb = self.reader.read(4)
+            if len(lenb) < 4:
+                break
+            n = int.from_bytes(lenb, "big")
+            end = self.reader.seek(n, io.SEEK_CUR)
+            if end - pos - 4 < n:
+                break
+            self._boundaries[pos] = idx
+            pos, idx = end, idx + 1
+            self._boundaries[pos] = idx
+        self.reader.seek(pos0)
+        return sorted(self._boundaries)
+
+    def seek(self, pos: int) -> None:
+        """Seek to an ADU boundary (the only valid targets in an `addec`
+        stream). Resets the in-flight ADU so the next digest decodes the
+        ADU starting at `pos` with the correct start_t."""
+        if pos not in self._boundaries:
+            self.scan_adu_boundaries()
+        if pos not in self._boundaries:
+            raise SeekError(
+                f"position {pos} is not an ADU boundary of this stream"
+            )
+        self.reader.seek(pos)
+        self._adu_idx = self._boundaries[pos]
+        self._queue = EventArray.empty()
+        self._queue_pos = 0
 
     def digest_event(self):
         while self._queue_pos >= len(self._queue):

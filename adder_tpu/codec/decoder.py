@@ -98,15 +98,33 @@ class Decoder:
     # -- seeking (ref: decoder.rs:225-258, raw/stream.rs:211-227) --
 
     def set_input_stream_position(self, pos: int) -> None:
+        """Absolute byte seek. Raw streams seek to any event boundary
+        (event-size alignment check, ref: raw/stream.rs:211-227); `addec`
+        streams seek only to ADU boundaries (length-prefixed frames,
+        ref: compressed/stream.rs:394-400) and reset the in-flight ADU."""
+        if self._compressed_input is not None:
+            self._compressed_input.seek(pos)
+            return
         if (pos - self.meta.header_size) % self.meta.event_size != 0:
             raise SeekError(f"bad position {pos}")
         self.reader.seek(pos)
+
+    def get_adu_boundaries(self) -> list:
+        """Valid seek targets for a compressed stream (byte offsets of each
+        length-prefixed ADU frame plus end-of-stream)."""
+        if self._compressed_input is None:
+            raise CodecError("raw streams have no ADU boundaries")
+        return self._compressed_input.scan_adu_boundaries()
 
     def get_input_stream_position(self) -> int:
         return self.reader.tell()
 
     def get_eof_position(self) -> int:
-        """Byte offset of the EOF marker event (scan from current pos)."""
+        """Byte offset of the end of the event payload (scan, position
+        restored). Raw: offset of the EOF marker event. Compressed: end of
+        the last whole ADU frame."""
+        if self._compressed_input is not None:
+            return self._compressed_input.scan_adu_boundaries()[-1]
         pos = self.reader.tell()
         self.reader.seek(self.meta.header_size)
         buf = self.reader.read()

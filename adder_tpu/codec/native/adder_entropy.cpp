@@ -579,11 +579,15 @@ static bool decompress_intra(Cube& cube, RangeDecoder& dec, Model& m,
 }
 
 // ref: event_cube.rs:600-685
-static void decompress_inter(Cube& cube, RangeDecoder& dec, Model& m,
+static bool decompress_inter(Cube& cube, RangeDecoder& dec, Model& m,
                              const Contexts& ctxs, uint32_t start_t,
                              uint32_t dt_ref, size_t num_intervals,
                              int channels) {
-    if (cube.skip) return;
+    if (cube.skip) return true;
+    // Corrupt-stream guard: a legitimate pixel emits a handful of events per
+    // interval (arena depth), but a corrupted symbol stream may never decode
+    // DRESIDUAL_NO_EVENT; cap the per-pixel loop instead of growing forever.
+    const size_t max_per_px = 32 * num_intervals + 1024;
     for (int c = 0; c < channels; c++)
         for (int y = 0; y < BLOCK_SIZE; y++)
             for (int x = 0; x < BLOCK_SIZE; x++) {
@@ -592,6 +596,7 @@ static void decompress_inter(Cube& cube, RangeDecoder& dec, Model& m,
                 size_t idx = 1;
                 uint32_t last_delta_t = 0;
                 for (;;) {
+                    if (pixel.size() > max_per_px) return false;
                     uint8_t db[2];
                     decode_bytes(dec, m, ctxs.d_context, db, 2);
                     int16_t d_residual =
@@ -625,6 +630,7 @@ static void decompress_inter(Cube& cube, RangeDecoder& dec, Model& m,
                     idx++;
                 }
             }
+    return true;
 }
 
 }  // namespace
@@ -720,8 +726,9 @@ long adder_decompress_adu(const uint8_t* blob, size_t blob_len, uint16_t width,
     for (auto& cube : cubes)
         decompress_intra(cube, dec, m, ctxs, start_t, channels);
     for (auto& cube : cubes)
-        decompress_inter(cube, dec, m, ctxs, start_t, dt_ref, num_intervals,
-                         channels);
+        if (!decompress_inter(cube, dec, m, ctxs, start_t, dt_ref,
+                              num_intervals, channels))
+            return -2;  // corrupt stream: per-pixel event cap exceeded
 
     // drain
     size_t k = 0;

@@ -68,8 +68,25 @@ class AdderPlayer:
         self.framer.view_mode = view_mode
 
     def seek_to_beginning(self) -> None:
-        """Loop restart (ref: player/adder.rs loop behavior)."""
-        self._open()
+        """Loop restart (ref: player/adder.rs loop behavior): seek back to
+        the first event/ADU boundary without reopening the file; the framer
+        state is rebuilt for the fresh timeline."""
+        self.decoder.set_input_stream_position(self.meta.header_size)
+        fps = self.meta.tps / max(self.meta.ref_interval, 1)
+        b = FramerBuilder(self.meta.plane)
+        b.buffer_limit = self.buffer_limit
+        self.framer = (
+            b.time_parameters(
+                self.meta.tps, self.meta.ref_interval, self.meta.delta_t_max, fps
+            )
+            .codec_meta(self.meta.codec_version, self.meta.time_mode)
+            .source_info(
+                SOURCE_CAMERA_TO_TYPE[self.meta.source_camera],
+                self.meta.source_camera,
+            )
+            .finish()
+        )
+        self.framer.view_mode = self.view_mode
 
     def frames(
         self, batch_events: int = 1 << 18, realtime: bool = False, loop: bool = False

@@ -41,7 +41,7 @@ class SimulProcArgs:
     crf: int = 3
     thread_count: int = 1
     time_mode: TimeMode = TimeMode.AbsoluteT
-    integration_mode: str = "FramePerfect"
+    integration_mode: str = ""  # "collapse" -> Collapse, else Normal
 
 
 class SimulProcessor:
@@ -132,13 +132,27 @@ def simulproc_from_args(args: SimulProcArgs, events_writer: BinaryIO,
         source.frame_start(args.frame_idx_start)
     source.auto_time_parameters(args.ref_time, args.delta_t_max, args.time_mode)
     source.crf(args.crf)
+    multi_mode = (
+        PixelMultiMode.Collapse
+        if args.integration_mode.lower() == "collapse"
+        else PixelMultiMode.Normal  # ref: bin/adder_simulproc.rs:57-60
+    )
+    # options carry the same CRF as the builder call, like the reference bin
+    # (ref: bin/adder_simulproc.rs:74-90 passes Crf::new(Some(args.crf)))
+    options = EncoderOptions.default(source.video.plane)
+    options.crf.update_quality(args.crf)
     source.write_out(
         SourceCamera.FramedU8,
         args.time_mode,
-        PixelMultiMode.Collapse,
+        multi_mode,
         None,
         EncoderType.Raw,
-        EncoderOptions.default(source.video.plane),
+        options,
         events_writer,
     )
-    return SimulProcessor(source, args.ref_time, raw_writer)
+    # the reference paces reconstruction at the *source* fps, not
+    # tps/ref_time — the two differ by float truncation in tpf
+    # (ref: simulproc.rs:141-160, driver.rs:356-357)
+    return SimulProcessor(
+        source, args.ref_time, raw_writer, framer_fps=source.source_fps
+    )

@@ -203,3 +203,105 @@ def test_fixture_reencode_compressed_smaller(samples_dir, tmp_path):
 
     back = open_file_decoder(str(path)).digest_all()
     assert len(back) >= len(ev_abs) * 0.95
+
+
+def _write_compressed(tmp_path, n_adus=4, w=48, h=32, name="seek.adder"):
+    meta = CodecMetadata(
+        codec_version=3,
+        plane=PlaneSize(w, h, 1),
+        tps=255 * 30,
+        ref_interval=255,
+        delta_t_max=255 * 8,
+        time_mode=TimeMode.AbsoluteT,
+        source_camera=SourceCamera.FramedU8,
+        adu_interval=8,
+    )
+    evs = [
+        synth_events(300, w, h, 1, 255 * 8, seed=a, start_t=a * 255 * 8)
+        for a in range(n_adus)
+    ]
+    allev = EventArray.concatenate(evs)
+    allev = allev[np.argsort(allev.t, kind="stable")]
+    path = tmp_path / name
+    enc = Encoder.new_compressed(
+        meta, open(path, "wb"), EncoderOptions.default(meta.plane)
+    )
+    enc.options.crf.update_quality(0)
+    enc.sync_crf()
+    enc.ingest_event_array(allev)
+    enc.close_writer().close()
+    return path, allev
+
+
+def test_compressed_seek_adu_boundaries(tmp_path):
+    """`addec` streams seek at ADU boundaries: replaying from a boundary
+    yields exactly the events of the remaining ADUs, with correct start_t
+    (ref: decoder.rs:225-231, compressed/stream.rs:394-400)."""
+    from adder_tpu.codec.header import SeekError
+
+    path, _ = _write_compressed(tmp_path)
+    dec = open_file_decoder(str(path))
+    full = dec.digest_all()
+
+    boundaries = dec.get_adu_boundaries()
+    assert boundaries[0] == dec.meta.header_size
+    assert len(boundaries) >= 3  # several ADUs + end-of-stream
+
+    # replay from the start == full decode (loop restart without reopening)
+    dec.set_input_stream_position(dec.meta.header_size)
+    again = dec.digest_all()
+    assert len(again) == len(full)
+    assert np.array_equal(again.t, full.t)
+    assert np.array_equal(again.d, full.d)
+
+    # seek into the middle: suffix decode, timestamps continue (not reset)
+    mid = boundaries[1]
+    dec.set_input_stream_position(mid)
+    tail = dec.digest_all()
+    assert 0 < len(tail) < len(full)
+    assert tail.t.min() >= 255 * 8  # second ADU's start_t span
+
+    # EOF position reporting
+    assert dec.get_eof_position() == boundaries[-1]
+
+    # non-boundary positions are rejected
+    with pytest.raises(SeekError):
+        dec.set_input_stream_position(dec.meta.header_size + 1)
+
+
+def test_compressed_truncated_adu_is_eof(tmp_path):
+    """A truncated final ADU ends the stream cleanly (Eof, no crash)."""
+    path, _ = _write_compressed(tmp_path, name="trunc.adder")
+    data = path.read_bytes()
+    cut = path.with_suffix(".cut")
+    cut.write_bytes(data[: len(data) - len(data) // 3])
+    dec = open_file_decoder(str(cut))
+    some = dec.digest_all()  # whole ADUs before the cut still decode
+    assert len(some) >= 0  # and no exception escaped
+    assert len(dec.digest_batch(100)) == 0  # subsequent reads report EOF
+
+
+def test_compressed_corrupt_adu_bounded(tmp_path):
+    """Corrupting ADU payload bytes must not hang or exhaust memory: decode
+    either raises CodecError/Eof or returns (garbage) events — bounded."""
+    from adder_tpu.codec.header import CodecError, Eof
+
+    path, _ = _write_compressed(tmp_path, name="corrupt.adder")
+    data = bytearray(path.read_bytes())
+    dec0 = open_file_decoder(str(path))
+    header = dec0.meta.header_size
+    rng = np.random.default_rng(0)
+    for trial in range(8):
+        bad = bytearray(data)
+        # flip random payload bytes after the first ADU length prefix
+        for _ in range(40):
+            i = rng.integers(header + 4, len(bad))
+            bad[i] = rng.integers(0, 256)
+        p = path.with_suffix(f".bad{trial}")
+        p.write_bytes(bytes(bad))
+        dec = open_file_decoder(str(p))
+        try:
+            out = dec.digest_all()
+            assert len(out) < 5_000_000
+        except (CodecError, Eof):
+            pass

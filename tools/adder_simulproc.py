@@ -28,6 +28,10 @@ def main():
     p.add_argument("--frame-idx-start", type=int, default=0)
     p.add_argument("--crf", type=int, default=3)
     p.add_argument("--time-mode", choices=["delta_t", "absolute"], default="absolute")
+    p.add_argument(
+        "--integration-mode", default="",
+        help='"collapse" for PixelMultiMode::Collapse; default Normal',
+    )
     a = p.parse_args()
 
     if a.args_filename:
@@ -57,6 +61,7 @@ def main():
         frame_idx_start=a.frame_idx_start,
         crf=a.crf,
         time_mode=TimeMode.AbsoluteT if a.time_mode == "absolute" else TimeMode.DeltaT,
+        integration_mode=a.integration_mode,
     )
     ev_writer = open(args.output_events_filename, "wb")
     raw_writer = (
