@@ -29,6 +29,7 @@ import numpy as np
 from ..core.types import NO_CHANNEL, EventArray
 from .header import (
     MAGIC_COMPRESSED,
+    MAGIC_RANS,
     CodecError,
     CodecMetadata,
     Eof,
@@ -89,7 +90,21 @@ def _get_lib():
             ctypes.c_uint32, ctypes.c_uint32, ctypes.c_uint32,
             u16p, u16p, u8p, u8p, u32p, ctypes.c_size_t,
         ]
+        lib.adder_compress_adu_rans.restype = ctypes.c_int
+        lib.adder_compress_adu_rans.argtypes = lib.adder_compress_adu.argtypes
+        lib.adder_decompress_adu_rans.restype = ctypes.c_long
+        lib.adder_decompress_adu_rans.argtypes = (
+            lib.adder_decompress_adu.argtypes
+        )
         lib.adder_free.argtypes = [ctypes.POINTER(ctypes.c_uint8)]
+        lib.adder_lz4_block_decompress.restype = ctypes.c_long
+        lib.adder_lz4_block_decompress.argtypes = [
+            u8p, ctypes.c_size_t, u8p, ctypes.c_size_t,
+        ]
+        lib.adder_lz4_block_decompress_prefixed.restype = ctypes.c_long
+        lib.adder_lz4_block_decompress_prefixed.argtypes = [
+            u8p, ctypes.c_size_t, u8p, ctypes.c_size_t, ctypes.c_size_t,
+        ]
         lib.adder_event_drop_ema.restype = ctypes.c_double
         lib.adder_event_drop_ema.argtypes = [
             ctypes.c_size_t, ctypes.c_double, ctypes.c_double,
@@ -118,6 +133,19 @@ def _ptr(arr, ctype):
     return arr.ctypes.data_as(ctypes.POINTER(ctype))
 
 
+def lz4_block_decompress(src: bytes, dst_size: int) -> bytes:
+    """Decompress one LZ4 block (native; used by the aedat4 reader)."""
+    lib = _get_lib()
+    s = np.frombuffer(src, dtype=np.uint8)
+    d = np.empty(dst_size, dtype=np.uint8)
+    n = lib.adder_lz4_block_decompress(
+        _ptr(s, ctypes.c_uint8), len(s), _ptr(d, ctypes.c_uint8), dst_size
+    )
+    if n < 0:
+        raise ValueError("malformed LZ4 block")
+    return d[:n].tobytes()
+
+
 def compress_adu(
     events: EventArray,
     width: int,
@@ -127,8 +155,12 @@ def compress_adu(
     dt_ref: int,
     num_intervals: int,
     c_thresh_max: int,
+    rans: bool = False,
 ) -> bytes:
-    """Compress one ADU's events to an entropy-coded blob."""
+    """Compress one ADU's events to an entropy-coded blob.
+
+    rans=True selects the interleaved-rANS entropy stage (`addrn` format,
+    own design); default is the reference-compatible adaptive range coder."""
     lib = _get_lib()
     xs = np.ascontiguousarray(events.x)
     ys = np.ascontiguousarray(events.y)
@@ -137,7 +169,8 @@ def compress_adu(
     ts = np.ascontiguousarray(events.t)
     out = ctypes.POINTER(ctypes.c_uint8)()
     out_len = ctypes.c_size_t()
-    rc = lib.adder_compress_adu(
+    fn = lib.adder_compress_adu_rans if rans else lib.adder_compress_adu
+    rc = fn(
         _ptr(xs, ctypes.c_uint16), _ptr(ys, ctypes.c_uint16),
         _ptr(cs, ctypes.c_uint8), _ptr(ds, ctypes.c_uint8),
         _ptr(ts, ctypes.c_uint32), len(events),
@@ -159,9 +192,11 @@ def decompress_adu(
     start_t: int,
     dt_ref: int,
     num_intervals: int,
+    rans: bool = False,
 ) -> EventArray:
     """Decompress one ADU blob to events in cube-raster drain order."""
     lib = _get_lib()
+    fn = lib.adder_decompress_adu_rans if rans else lib.adder_decompress_adu
     cap = max(4096, min(width * height * channels * (num_intervals + 2), 1 << 22))
     while True:
         xs = np.empty(cap, np.uint16)
@@ -170,7 +205,7 @@ def decompress_adu(
         ds = np.empty(cap, np.uint8)
         ts = np.empty(cap, np.uint32)
         buf = np.frombuffer(blob, dtype=np.uint8)
-        n = lib.adder_decompress_adu(
+        n = fn(
             _ptr(buf, ctypes.c_uint8), len(blob),
             width, height, channels, start_t, dt_ref, num_intervals,
             _ptr(xs, ctypes.c_uint16), _ptr(ys, ctypes.c_uint16),
@@ -194,7 +229,17 @@ class CompressedOutput:
 
     magic = MAGIC_COMPRESSED
 
-    def __init__(self, meta: CodecMetadata, writer: BinaryIO):
+    def __init__(
+        self, meta: CodecMetadata, writer: BinaryIO, entropy: str = "cabac"
+    ):
+        """entropy: "cabac" (reference-compatible `addec`) or "rans"
+        (interleaved-rANS `addrn`, own format — same ADU framing and cube
+        transforms, ~parallel-decodable entropy stage)."""
+        if entropy not in ("cabac", "rans"):
+            raise CodecError(f"unknown entropy stage {entropy!r}")
+        self.entropy = entropy
+        if entropy == "rans":
+            self.magic = MAGIC_RANS
         self.meta = meta
         self.meta.event_size = event_size_for_plane(meta.plane)
         self.writer = writer
@@ -228,7 +273,7 @@ class CompressedOutput:
         args = (
             events, plane.width, plane.height, plane.channels,
             self.start_t, self.dt_ref, self.num_intervals,
-            self._c_thresh_max(),
+            self._c_thresh_max(), self.entropy == "rans",
         )
         self._futures.append(self._pool.submit(compress_adu, *args))
 
@@ -280,7 +325,12 @@ class CompressedOutput:
 class CompressedInput:
     """Read backend for the compressed codec (ref: stream.rs:330-443)."""
 
-    def __init__(self, meta: CodecMetadata, reader: BinaryIO):
+    def __init__(
+        self, meta: CodecMetadata, reader: BinaryIO, entropy: str = "cabac"
+    ):
+        if entropy not in ("cabac", "rans"):
+            raise CodecError(f"unknown entropy stage {entropy!r}")
+        self.entropy = entropy
         self.meta = meta
         self.reader = reader
         self.dt_ref = meta.ref_interval
@@ -316,6 +366,7 @@ class CompressedInput:
         self._queue = decompress_adu(
             blob, plane.width, plane.height, plane.channels,
             start_t, self.dt_ref, self.num_intervals,
+            rans=self.entropy == "rans",
         )
         self._queue_pos = 0
         return True

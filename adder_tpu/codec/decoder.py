@@ -23,6 +23,7 @@ from . import raw as rawcodec
 from .encoder import EncoderType
 from .header import (
     MAGIC_COMPRESSED,
+    MAGIC_RANS,
     MAGIC_RAW,
     CodecMetadata,
     CodecError,
@@ -39,10 +40,13 @@ class Decoder:
         self.reader = reader
         self.meta, self.magic = decode_header(reader)
         self._compressed_input = None
-        if self.magic == MAGIC_COMPRESSED:
+        if self.magic in (MAGIC_COMPRESSED, MAGIC_RANS):
             from .compressed import CompressedInput  # deferred: heavier dep
 
-            self._compressed_input = CompressedInput(self.meta, reader)
+            self._compressed_input = CompressedInput(
+                self.meta, reader,
+                entropy="rans" if self.magic == MAGIC_RANS else "cabac",
+            )
 
     # -- introspection --
 
@@ -53,7 +57,7 @@ class Decoder:
     def get_compression_type(self) -> EncoderType:
         return (
             EncoderType.Compressed
-            if self.magic == MAGIC_COMPRESSED
+            if self.magic in (MAGIC_COMPRESSED, MAGIC_RANS)
             else EncoderType.Raw
         )
 

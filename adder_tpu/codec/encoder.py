@@ -157,10 +157,15 @@ class Encoder:
         return cls(EmptyOutput(meta), options)
 
     @classmethod
-    def new_compressed(cls, meta: CodecMetadata, writer: BinaryIO, options: EncoderOptions) -> "Encoder":
+    def new_compressed(
+        cls, meta: CodecMetadata, writer: BinaryIO,
+        options: EncoderOptions, entropy: str = "cabac",
+    ) -> "Encoder":
+        """entropy: "cabac" -> reference-compatible `addec`; "rans" ->
+        interleaved-rANS `addrn` (own format, parallel-friendly decode)."""
         from .compressed import CompressedOutput  # local import: optional heavy dep
 
-        out = CompressedOutput(meta, writer)
+        out = CompressedOutput(meta, writer, entropy=entropy)
         out.options = options
         return cls(out, options)
 

@@ -30,6 +30,9 @@ from ..core.types import PlaneSize, SourceCamera, TimeMode
 
 MAGIC_RAW = b"adder"
 MAGIC_COMPRESSED = b"addec"
+# Own TPU-friendly compressed variant (interleaved rANS entropy stage, same
+# container framing and cube transforms; NOT in the reference)
+MAGIC_RANS = b"addrn"
 
 LATEST_CODEC_VERSION = 3
 
@@ -83,7 +86,7 @@ def encode_header(meta: CodecMetadata, magic: bytes) -> bytes:
 
     ref: codec/encoder.rs:170-229 (encode_header / encode_header_extension)
     """
-    if magic not in (MAGIC_RAW, MAGIC_COMPRESSED):
+    if magic not in (MAGIC_RAW, MAGIC_COMPRESSED, MAGIC_RANS):
         raise CodecError(f"bad magic {magic!r}")
     plane = meta.plane
     out = bytearray(
@@ -131,7 +134,7 @@ def decode_header(reader, expected_magic: bytes | None = None) -> tuple[CodecMet
         event_size,
         channels,
     ) = _BASE.unpack(buf)
-    if magic not in (MAGIC_RAW, MAGIC_COMPRESSED):
+    if magic not in (MAGIC_RAW, MAGIC_COMPRESSED, MAGIC_RANS):
         raise WrongMagic(magic)
     if expected_magic is not None and magic != expected_magic:
         raise WrongMagic(magic)

@@ -389,21 +389,27 @@ struct Adu {
     Cube& cube(int by, int bx) { return cubes[by * blocks_x + bx]; }
 };
 
-// encode helpers: byte-wise symbol streams in a given context
-static void encode_bytes(RangeEncoder& enc, Model& m, size_t ctx,
+// encode helpers: byte-wise symbol streams in a given context.
+// Enc/Dec are either the range coder (compat `addec` path) or the rANS
+// symbol collector/replayer (own `addrn` path) — the residual transforms
+// are shared verbatim between the two entropy stages.
+template <class Enc>
+static void encode_bytes(Enc& enc, Model& m, size_t ctx,
                          const uint8_t* bytes, size_t n) {
     m.current = ctx;
     for (size_t i = 0; i < n; i++) enc.encode(m, bytes[i]);
 }
 
-static void decode_bytes(RangeDecoder& dec, Model& m, size_t ctx,
+template <class Dec>
+static void decode_bytes(Dec& dec, Model& m, size_t ctx,
                          uint8_t* bytes, size_t n) {
     m.current = ctx;
     for (size_t i = 0; i < n; i++) bytes[i] = (uint8_t)dec.decode(m);
 }
 
 // ref: event_cube.rs:309-417
-static void compress_intra(Cube& cube, RangeEncoder& enc, Model& m,
+template <class Enc>
+static void compress_intra(Cube& cube, Enc& enc, Model& m,
                            const Contexts& ctxs, uint32_t start_t,
                            int channels) {
     m.current = ctxs.d_context;
@@ -460,7 +466,8 @@ static void compress_intra(Cube& cube, RangeEncoder& enc, Model& m,
 }
 
 // ref: event_cube.rs:419-517
-static void compress_inter(Cube& cube, RangeEncoder& enc, Model& m,
+template <class Enc>
+static void compress_inter(Cube& cube, Enc& enc, Model& m,
                            const Contexts& ctxs, uint32_t start_t,
                            uint32_t dt_ref, size_t num_intervals, int channels,
                            double c_thresh_max) {
@@ -526,7 +533,8 @@ static void compress_inter(Cube& cube, RangeEncoder& enc, Model& m,
 }
 
 // ref: event_cube.rs:519-598
-static bool decompress_intra(Cube& cube, RangeDecoder& dec, Model& m,
+template <class Dec>
+static bool decompress_intra(Cube& cube, Dec& dec, Model& m,
                              const Contexts& ctxs, uint32_t start_t,
                              int channels) {
     bool have_init = false;
@@ -579,7 +587,8 @@ static bool decompress_intra(Cube& cube, RangeDecoder& dec, Model& m,
 }
 
 // ref: event_cube.rs:600-685
-static bool decompress_inter(Cube& cube, RangeDecoder& dec, Model& m,
+template <class Dec>
+static bool decompress_inter(Cube& cube, Dec& dec, Model& m,
                              const Contexts& ctxs, uint32_t start_t,
                              uint32_t dt_ref, size_t num_intervals,
                              int channels) {
@@ -633,6 +642,192 @@ static bool decompress_inter(Cube& cube, RangeDecoder& dec, Model& m,
     return true;
 }
 
+// --------------------------------------------------- interleaved rANS ------
+// Own TPU-friendly entropy stage (`addrn` magic; NOT in the reference): the
+// cube residual transforms above are reused verbatim, but the adaptive
+// arithmetic coder is replaced by 8-lane interleaved rANS with static
+// per-ADU frequency tables (two-pass). Decoding is branch-light and
+// lane-parallel; encoding visits symbols once to count and once to code.
+
+constexpr uint32_t RANS_SCALE_BITS = 12;
+constexpr uint32_t RANS_SCALE = 1u << RANS_SCALE_BITS;
+constexpr uint32_t RANS_LOW = 1u << 16;
+constexpr int RANS_LANES = 8;
+
+// Collector/replayer present the RangeEncoder/RangeDecoder interface to the
+// templated cube functions, but just buffer symbols per model context.
+struct SymCollector {
+    std::vector<std::vector<uint16_t>> streams;
+    explicit SymCollector(size_t n_ctx) : streams(n_ctx) {}
+    void encode(Model& m, size_t sym) {
+        if (sym == SIZE_MAX) return;  // EOF is implicit (counts in header)
+        streams[m.current].push_back((uint16_t)sym);
+    }
+};
+
+struct SymReplayer {
+    std::vector<std::vector<uint16_t>> streams;
+    std::vector<size_t> pos;
+    bool fail = false;
+    explicit SymReplayer(size_t n_ctx) : streams(n_ctx), pos(n_ctx, 0) {}
+    size_t decode(Model& m) {
+        auto& s = streams[m.current];
+        size_t& p = pos[m.current];
+        if (p >= s.size()) {
+            fail = true;  // corrupt/truncated stream; loop caps bound us
+            return 0;
+        }
+        return s[p++];
+    }
+};
+
+struct FreqTable {
+    std::vector<uint32_t> freq, cum;   // freq[sym], cum[sym]
+    std::vector<uint16_t> slot2sym;    // RANS_SCALE entries
+    size_t n_sym = 0;
+
+    // quantize raw counts to sum exactly RANS_SCALE (largest-remainder-ish:
+    // floor scaling with >=1 per present symbol, then adjust the largest)
+    bool build(const std::vector<uint32_t>& counts) {
+        n_sym = counts.size();
+        freq.assign(n_sym, 0);
+        cum.assign(n_sym + 1, 0);
+        uint64_t total = 0;
+        for (uint32_t c : counts) total += c;
+        if (total == 0) return true;  // empty stream
+        uint64_t assigned = 0;
+        size_t largest = 0;
+        for (size_t s = 0; s < n_sym; s++) {
+            if (!counts[s]) continue;
+            uint64_t f = ((uint64_t)counts[s] * RANS_SCALE) / total;
+            if (f == 0) f = 1;
+            freq[s] = (uint32_t)f;
+            assigned += f;
+            if (counts[s] > counts[largest] || freq[largest] == 0) largest = s;
+        }
+        // fix the sum on the most frequent symbol
+        int64_t fix = (int64_t)RANS_SCALE - (int64_t)assigned;
+        if ((int64_t)freq[largest] + fix < 1) {
+            // pathological many-rare-symbols case: flatten instead
+            size_t present = 0;
+            for (size_t s = 0; s < n_sym; s++) present += counts[s] ? 1 : 0;
+            if (present > RANS_SCALE) return false;
+            uint32_t base = RANS_SCALE / (uint32_t)present;
+            uint32_t rem = RANS_SCALE % (uint32_t)present;
+            for (size_t s = 0; s < n_sym; s++)
+                if (counts[s]) freq[s] = base + (rem ? (rem--, 1) : 0);
+        } else {
+            freq[largest] = (uint32_t)((int64_t)freq[largest] + fix);
+        }
+        finish();
+        return true;
+    }
+    void finish() {
+        uint32_t acc = 0;
+        slot2sym.assign(RANS_SCALE, 0);
+        for (size_t s = 0; s < n_sym; s++) {
+            cum[s] = acc;
+            for (uint32_t i = 0; i < freq[s]; i++) slot2sym[acc + i] = (uint16_t)s;
+            acc += freq[s];
+        }
+        cum[n_sym] = acc;
+    }
+};
+
+static void put_u16(std::vector<uint8_t>& out, uint16_t v) {
+    out.push_back((uint8_t)v);
+    out.push_back((uint8_t)(v >> 8));
+}
+static void put_u32(std::vector<uint8_t>& out, uint32_t v) {
+    for (int i = 0; i < 4; i++) out.push_back((uint8_t)(v >> (8 * i)));
+}
+
+struct ByteCursor {
+    const uint8_t* p;
+    size_t len, pos = 0;
+    bool fail = false;
+    uint16_t u16() {
+        if (pos + 2 > len) { fail = true; return 0; }
+        uint16_t v = (uint16_t)(p[pos] | (p[pos + 1] << 8));
+        pos += 2;
+        return v;
+    }
+    uint32_t u32() {
+        if (pos + 4 > len) { fail = true; return 0; }
+        uint32_t v = 0;
+        for (int i = 0; i < 4; i++) v |= (uint32_t)p[pos + i] << (8 * i);
+        pos += 4;
+        return v;
+    }
+};
+
+// Giesen-style interleaved rANS: encode in reverse symbol order, each lane
+// renormalizing 16-bit words into a shared stream that is reversed at the
+// end; the decoder walks symbols forward, lanes round-robin.
+static void rans_encode_stream(const std::vector<uint16_t>& syms,
+                               const FreqTable& ft,
+                               std::vector<uint8_t>& out) {
+    uint32_t states[RANS_LANES];
+    for (int l = 0; l < RANS_LANES; l++) states[l] = RANS_LOW;
+    std::vector<uint16_t> words;
+    words.reserve(syms.size());
+    for (size_t ii = syms.size(); ii-- > 0;) {
+        int l = (int)(ii % RANS_LANES);
+        uint32_t f = ft.freq[syms[ii]];
+        uint32_t c = ft.cum[syms[ii]];
+        uint32_t x = states[l];
+        uint64_t x_max = ((uint64_t)(RANS_LOW >> RANS_SCALE_BITS) << 16) * f;
+        while (x >= x_max) {
+            words.push_back((uint16_t)x);
+            x >>= 16;
+        }
+        states[l] = ((x / f) << RANS_SCALE_BITS) + (x % f) + c;
+    }
+    for (int l = 0; l < RANS_LANES; l++) put_u32(out, states[l]);
+    for (size_t i = words.size(); i-- > 0;) put_u16(out, words[i]);
+}
+
+static bool rans_decode_stream(ByteCursor& in, size_t n, const FreqTable& ft,
+                               std::vector<uint16_t>& out_syms) {
+    out_syms.resize(n);
+    if (n == 0) return true;
+    uint32_t states[RANS_LANES];
+    for (int l = 0; l < RANS_LANES; l++) states[l] = in.u32();
+    if (in.fail) return false;
+    for (size_t i = 0; i < n; i++) {
+        int l = (int)(i % RANS_LANES);
+        uint32_t x = states[l];
+        uint32_t slot = x & (RANS_SCALE - 1);
+        uint16_t s = ft.slot2sym[slot];
+        x = ft.freq[s] * (x >> RANS_SCALE_BITS) + slot - ft.cum[s];
+        while (x < RANS_LOW) {
+            if (in.pos + 2 > in.len) return false;
+            x = (x << 16) | in.u16();
+        }
+        states[l] = x;
+        out_syms[i] = s;
+    }
+    return true;
+}
+
+// ----------------------------------------------------------- ADU ingest ----
+
+static void ingest_adu(Adu& adu, const uint16_t* xs, const uint16_t* ys,
+                       const uint8_t* cs, const uint8_t* ds,
+                       const uint32_t* ts, size_t n_events) {
+    // ref: event_adu.rs:179-193, event_cube.rs:121-155
+    for (size_t i = 0; i < n_events; i++) {
+        int by = ys[i] / BLOCK_SIZE, bx = xs[i] / BLOCK_SIZE;
+        Cube& cube = adu.cube(by, bx);
+        int cc = cs[i] == 255 ? 0 : cs[i];
+        int ly = ys[i] % BLOCK_SIZE, lx = xs[i] % BLOCK_SIZE;
+        auto& pixel = cube.px[cc][ly][lx];
+        if (pixel.size() > 1 && ts[i] <= pixel.back().t) continue;
+        pixel.push_back(Ev{ds[i], ts[i]});
+        cube.skip = false;
+    }
+}
+
 }  // namespace
 
 // ------------------------------------------------------------- C ABI -------
@@ -658,17 +853,7 @@ int adder_compress_adu(const uint16_t* xs, const uint16_t* ys,
     adu.num_intervals = num_intervals;
     adu.cubes.resize((size_t)adu.blocks_y * adu.blocks_x);
 
-    // ingest (ref: event_adu.rs:179-193, event_cube.rs:121-155)
-    for (size_t i = 0; i < n_events; i++) {
-        int by = ys[i] / BLOCK_SIZE, bx = xs[i] / BLOCK_SIZE;
-        Cube& cube = adu.cube(by, bx);
-        int cc = cs[i] == 255 ? 0 : cs[i];
-        int ly = ys[i] % BLOCK_SIZE, lx = xs[i] % BLOCK_SIZE;
-        auto& pixel = cube.px[cc][ly][lx];
-        if (pixel.size() > 1 && ts[i] <= pixel.back().t) continue;
-        pixel.push_back(Ev{ds[i], ts[i]});
-        cube.skip = false;
-    }
+    ingest_adu(adu, xs, ys, cs, ds, ts, n_events);
 
     // compress (ref: event_adu.rs:83-116)
     BitWriter bw;
@@ -753,6 +938,257 @@ long adder_decompress_adu(const uint8_t* blob, size_t blob_len, uint16_t width,
 }
 
 void adder_free(uint8_t* p) { std::free(p); }
+
+// Compress one ADU with the interleaved-rANS entropy stage (`addrn` format;
+// own design, not reference-compatible at the bitstream level — the cube
+// residual transforms and event semantics are identical to the `addec`
+// path, only the entropy coding differs).
+//
+// Blob layout (all little-endian):
+//   u32 start_t
+//   u8 lanes, u8 scale_bits, u16 reserved
+//   3 x context stream [d, t, bitshift]:
+//     u32 n_syms
+//     u16 n_nonzero, then n_nonzero x (u16 sym, u16 freq)
+//     u32 payload_len, payload (lane states + reversed renorm words)
+int adder_compress_adu_rans(const uint16_t* xs, const uint16_t* ys,
+                            const uint8_t* cs, const uint8_t* ds,
+                            const uint32_t* ts, size_t n_events,
+                            uint16_t width, uint16_t height, uint8_t channels,
+                            uint32_t start_t, uint32_t dt_ref,
+                            uint32_t num_intervals, uint8_t c_thresh_max,
+                            uint8_t** out, size_t* out_len) {
+    Adu adu;
+    adu.blocks_y = (height + BLOCK_SIZE - 1) / BLOCK_SIZE;
+    adu.blocks_x = (width + BLOCK_SIZE - 1) / BLOCK_SIZE;
+    adu.channels = channels;
+    adu.start_t = start_t;
+    adu.dt_ref = dt_ref;
+    adu.num_intervals = num_intervals;
+    adu.cubes.resize((size_t)adu.blocks_y * adu.blocks_x);
+    ingest_adu(adu, xs, ys, cs, ds, ts, n_events);
+
+    // pass 1: run the shared residual transforms, collecting symbols
+    Model m;
+    Contexts ctxs(m);
+    SymCollector col(m.contexts.size());
+    for (auto& cube : adu.cubes)
+        compress_intra(cube, col, m, ctxs, start_t, channels);
+    for (auto& cube : adu.cubes)
+        compress_inter(cube, col, m, ctxs, start_t, dt_ref, num_intervals,
+                       channels, (double)c_thresh_max);
+
+    const size_t ctx_ids[3] = {ctxs.d_context, ctxs.t_context,
+                               ctxs.bitshift_context};
+    const size_t alphabet[3] = {513 + 5, 256, 16};
+
+    std::vector<uint8_t> blob;
+    put_u32(blob, start_t);
+    blob.push_back((uint8_t)RANS_LANES);
+    blob.push_back((uint8_t)RANS_SCALE_BITS);
+    put_u16(blob, 0);
+
+    for (int k = 0; k < 3; k++) {
+        const auto& syms = col.streams[ctx_ids[k]];
+        std::vector<uint32_t> counts(alphabet[k], 0);
+        for (uint16_t s : syms) {
+            if (s >= alphabet[k]) return -3;
+            counts[s]++;
+        }
+        FreqTable ft;
+        if (!ft.build(counts)) return -4;
+        put_u32(blob, (uint32_t)syms.size());
+        uint16_t nz = 0;
+        for (uint32_t f : ft.freq) nz += f ? 1 : 0;
+        put_u16(blob, nz);
+        for (size_t s = 0; s < ft.freq.size(); s++)
+            if (ft.freq[s]) {
+                put_u16(blob, (uint16_t)s);
+                put_u16(blob, (uint16_t)ft.freq[s]);
+            }
+        std::vector<uint8_t> payload;
+        if (!syms.empty()) rans_encode_stream(syms, ft, payload);
+        put_u32(blob, (uint32_t)payload.size());
+        blob.insert(blob.end(), payload.begin(), payload.end());
+    }
+
+    *out_len = blob.size();
+    *out = (uint8_t*)std::malloc(blob.size());
+    std::memcpy(*out, blob.data(), blob.size());
+    return 0;
+}
+
+long adder_decompress_adu_rans(const uint8_t* blob, size_t blob_len,
+                               uint16_t width, uint16_t height,
+                               uint8_t channels, uint32_t start_t,
+                               uint32_t dt_ref, uint32_t num_intervals,
+                               uint16_t* xs, uint16_t* ys, uint8_t* cs,
+                               uint8_t* ds, uint32_t* ts, size_t cap) {
+    int blocks_y = (height + BLOCK_SIZE - 1) / BLOCK_SIZE;
+    int blocks_x = (width + BLOCK_SIZE - 1) / BLOCK_SIZE;
+    std::vector<Cube> cubes((size_t)blocks_y * blocks_x);
+
+    Model m;
+    Contexts ctxs(m);
+    SymReplayer rep(m.contexts.size());
+    const size_t ctx_ids[3] = {ctxs.d_context, ctxs.t_context,
+                               ctxs.bitshift_context};
+    const size_t alphabet[3] = {513 + 5, 256, 16};
+
+    ByteCursor cur{blob, blob_len};
+    (void)cur.u32();  // start_t (caller passes its own, like the reference)
+    uint8_t lanes = cur.pos < cur.len ? blob[cur.pos] : 0;
+    cur.pos += 1;
+    uint8_t scale_bits = cur.pos < cur.len ? blob[cur.pos] : 0;
+    cur.pos += 1;
+    (void)cur.u16();
+    if (cur.fail || lanes != RANS_LANES || scale_bits != RANS_SCALE_BITS)
+        return -2;
+
+    for (int k = 0; k < 3; k++) {
+        uint32_t n_syms = cur.u32();
+        uint16_t nz = cur.u16();
+        if (cur.fail) return -2;
+        std::vector<uint32_t> counts(alphabet[k], 0);
+        FreqTable ft;
+        ft.n_sym = alphabet[k];
+        ft.freq.assign(alphabet[k], 0);
+        ft.cum.assign(alphabet[k] + 1, 0);
+        uint32_t fsum = 0;
+        for (uint16_t i = 0; i < nz; i++) {
+            uint16_t s = cur.u16();
+            uint16_t f = cur.u16();
+            if (cur.fail || s >= alphabet[k]) return -2;
+            ft.freq[s] = f;
+            fsum += f;
+        }
+        if (n_syms > 0 && fsum != RANS_SCALE) return -2;
+        ft.finish();
+        uint32_t payload_len = cur.u32();
+        if (cur.fail || cur.pos + payload_len > cur.len) return -2;
+        ByteCursor pc{blob + cur.pos, payload_len};
+        if (!rans_decode_stream(pc, n_syms, ft, rep.streams[ctx_ids[k]]))
+            return -2;
+        cur.pos += payload_len;
+    }
+
+    for (auto& cube : cubes)
+        decompress_intra(cube, rep, m, ctxs, start_t, channels);
+    for (auto& cube : cubes)
+        if (!decompress_inter(cube, rep, m, ctxs, start_t, dt_ref,
+                              num_intervals, channels))
+            return -2;
+    if (rep.fail) return -2;
+
+    size_t k = 0;
+    for (int by = 0; by < blocks_y; by++)
+        for (int bx = 0; bx < blocks_x; bx++) {
+            Cube& cube = cubes[(size_t)by * blocks_x + bx];
+            if (cube.skip) continue;
+            for (int c = 0; c < channels; c++)
+                for (int y = 0; y < BLOCK_SIZE; y++)
+                    for (int x = 0; x < BLOCK_SIZE; x++)
+                        for (const Ev& e : cube.px[c][y][x]) {
+                            if (k >= cap) return -1;
+                            xs[k] = (uint16_t)(bx * BLOCK_SIZE + x);
+                            ys[k] = (uint16_t)(by * BLOCK_SIZE + y);
+                            cs[k] = channels == 1 ? 255 : (uint8_t)c;
+                            ds[k] = e.d;
+                            ts[k] = e.t;
+                            k++;
+                        }
+        }
+    return (long)k;
+}
+
+// LZ4 block decompression (standard LZ4 block format; used by the aedat4
+// reader for DV-written files — lz4 has no Python binding in this
+// environment). Returns decompressed size, or -1 on malformed input /
+// insufficient capacity.
+long adder_lz4_block_decompress(const uint8_t* src, size_t src_len,
+                                uint8_t* dst, size_t dst_cap) {
+    size_t ip = 0, op = 0;
+    while (ip < src_len) {
+        uint8_t token = src[ip++];
+        size_t lit_len = token >> 4;
+        if (lit_len == 15) {
+            uint8_t b;
+            do {
+                if (ip >= src_len) return -1;
+                b = src[ip++];
+                lit_len += b;
+            } while (b == 255);
+        }
+        if (ip + lit_len > src_len || op + lit_len > dst_cap) return -1;
+        std::memcpy(dst + op, src + ip, lit_len);
+        ip += lit_len;
+        op += lit_len;
+        if (ip >= src_len) break;  // last literals-only sequence
+        if (ip + 2 > src_len) return -1;
+        size_t offset = src[ip] | ((size_t)src[ip + 1] << 8);
+        ip += 2;
+        if (offset == 0 || offset > op) return -1;
+        size_t match_len = (token & 0xF);
+        if (match_len == 15) {
+            uint8_t b;
+            do {
+                if (ip >= src_len) return -1;
+                b = src[ip++];
+                match_len += b;
+            } while (b == 255);
+        }
+        match_len += 4;
+        if (op + match_len > dst_cap) return -1;
+        // overlapping copies are part of the format: byte-by-byte
+        for (size_t i = 0; i < match_len; i++, op++)
+            dst[op] = dst[op - offset];
+    }
+    return (long)op;
+}
+
+// Variant for LZ4-frame dependent blocks: dst[0..prefix_len) already holds
+// the previous window; decoding starts at prefix_len and matches may reach
+// back into the prefix. Returns end position (>= prefix_len) or -1.
+long adder_lz4_block_decompress_prefixed(const uint8_t* src, size_t src_len,
+                                         uint8_t* dst, size_t dst_cap,
+                                         size_t prefix_len) {
+    size_t ip = 0, op = prefix_len;
+    while (ip < src_len) {
+        uint8_t token = src[ip++];
+        size_t lit_len = token >> 4;
+        if (lit_len == 15) {
+            uint8_t b;
+            do {
+                if (ip >= src_len) return -1;
+                b = src[ip++];
+                lit_len += b;
+            } while (b == 255);
+        }
+        if (ip + lit_len > src_len || op + lit_len > dst_cap) return -1;
+        std::memcpy(dst + op, src + ip, lit_len);
+        ip += lit_len;
+        op += lit_len;
+        if (ip >= src_len) break;
+        if (ip + 2 > src_len) return -1;
+        size_t offset = src[ip] | ((size_t)src[ip + 1] << 8);
+        ip += 2;
+        if (offset == 0 || offset > op) return -1;
+        size_t match_len = (token & 0xF);
+        if (match_len == 15) {
+            uint8_t b;
+            do {
+                if (ip >= src_len) return -1;
+                b = src[ip++];
+                match_len += b;
+            } while (b == 255);
+        }
+        match_len += 4;
+        if (op + match_len > dst_cap) return -1;
+        for (size_t i = 0; i < match_len; i++, op++)
+            dst[op] = dst[op - offset];
+    }
+    return (long)op;
+}
 
 // EventDrop EMA rate limiter over an event batch (ref: encoder.rs:234-253).
 // IEEE double arithmetic matches the Python-scalar recurrence bit-for-bit,

@@ -213,7 +213,7 @@ def _dshift_f32(d: jax.Array) -> jax.Array:
 # round-trip and cast through i32 (timestamps < 2^31, the compressed codec's
 # own assumption — see event_cube.rs debug_assert t < 2^31).
 def _fence(x: jax.Array) -> jax.Array:
-    return numerics.barrier(x)
+    return numerics.product_fence(x)
 
 
 def _u32_to_f32(x: jax.Array) -> jax.Array:
@@ -596,17 +596,23 @@ def _running_intensity(s: _S, p: TranscodeParams):
     bd = s.bd[0]
     bdt = s.bdt[0]
     has = bd >= 0
+    # all divisions correctly rounded (exact_div): XLA's approximate divide
+    # is fusion-dependent, so the same state would otherwise display ±1
+    # differently between the XLA, Pallas, and interpret paths
     if p.view_mode == 1:  # D
         pdm = float(np.float32(np.log2(255.0 * (p.delta_t_max / max(p.ref_time, 1)))))
-        val = (bd.astype(_f32) / pdm) * 255.0
+        val = exact_div(bd.astype(_f32), jnp.full_like(bdt, pdm)) * 255.0
     elif p.view_mode == 2:  # DeltaT
-        val = bdt / _f32(p.delta_t_max) * 255.0
+        val = exact_div(bdt, jnp.full_like(bdt, p.delta_t_max)) * 255.0
     elif p.view_mode == 3:  # SAE
-        val = (s.running_t - s.lft) / _f32(p.delta_t_max) * 255.0
+        val = exact_div(
+            (s.running_t - s.lft).astype(_f32),
+            jnp.full_like(bdt, p.delta_t_max),
+        ) * 255.0
     else:  # Intensity: 2^d / dt * ticks-per-frame
         dshift = _dshift_f32(bd)
         dt = jnp.where(bdt == 0.0, _f32(1.0), bdt)
-        val = dshift / dt * _f32(p.ref_time)
+        val = exact_div(dshift, dt) * _f32(p.ref_time)
     # cast via i32: Mosaic lacks direct f32<->u8 conversions
     val = jnp.clip(val, 0.0, 255.0).astype(_i32)
     return jnp.where(has, val, 0).astype(jnp.uint8), has
@@ -687,6 +693,82 @@ def _merge_prefix(bufs, offset, pixd_s, t_s, n_ev, take):
         buf_t, jnp.where(valid, t_s, old_t), offset, 0
     )
     return (buf_pixd, buf_t), offset + n_ev
+
+
+def _finish_chunk(buf_pixd, buf_t, total, event_cap):
+    """16-bit timestamp compression for the host link (shared tail of the
+    chunk functions)."""
+    ok = jnp.arange(event_cap, dtype=_i32) < total
+    t_base = jnp.min(jnp.where(ok, buf_t, jnp.uint32(0xFFFFFFFF)))
+    t_base = jnp.where(total > 0, t_base, 0)
+    t_max = jnp.max(jnp.where(ok, buf_t, 0))
+    t16_ok = (t_max - t_base) < (1 << 16)
+    buf_t16 = (buf_t - t_base).astype(jnp.uint16)
+    return buf_t16, t_base, t16_ok
+
+
+@functools.lru_cache(maxsize=64)
+def make_fused_chunk(
+    p: TranscodeParams,
+    event_cap: int,
+    pack: int = 4,
+    pallas_block: int = 4096,
+    n_real: int = 0,
+    interpret: bool = False,
+):
+    """Chunk scan over the fused interval+compaction kernel
+    (ops/fused_kernel.py): events are compacted *inside* the Pallas kernel
+    and DMA'd to the chunk buffer at a running offset — no top_k, no
+    gathers, no (K, N) slot round-trip through HBM.
+
+    Same output signature as make_transcode_chunk. Differences in overflow
+    semantics: there is no per-interval prefix limit (any interval may use
+    the whole remaining buffer); overflow means `total` > event_cap.
+    `max_cnt` still reports the per-pixel slot maximum for pack fallback
+    (use pack=16 >= K_SLOTS for the lossless graph: 128 % pack must be 0)."""
+    from . import fused_kernel
+
+    srows_phys = (((pallas_block * pack) // 128 + 1 + 7) // 8) * 8
+    rows_cap = -(-event_cap // 128) + srows_phys
+
+    def chunk_fn(state, frames, time, run0):
+        n = frames.shape[1]
+        fstep = fused_kernel.make_fused_interval(
+            p, n, rows_cap, pallas_block, pack, n_real, interpret
+        )
+
+        def step(carry, frame_u8):
+            st, run, bufp, buft, off, pmax = carry
+            st, bufp, buft, off2, pmax_i, (rval, rhas) = fstep(
+                st, frame_u8, time, bufp, buft, off
+            )
+            run = jnp.where(rhas, rval, run)
+            carry = (st, run, bufp, buft, off2, jnp.maximum(pmax, pmax_i))
+            return carry, (off2 - off, run)
+
+        bufp0 = jnp.zeros((rows_cap, 128), _u32)
+        buft0 = jnp.zeros((rows_cap, 128), _u32)
+        (state, _, bufp, buft, total, pmax), (per_interval, runnings) = (
+            jax.lax.scan(
+                step,
+                (
+                    state, run0, bufp0, buft0,
+                    jnp.zeros((), _i32), jnp.zeros((), _i32),
+                ),
+                frames,
+            )
+        )
+        buf_pixd = bufp.reshape(-1)[:event_cap]
+        buf_t = buft.reshape(-1)[:event_cap]
+        buf_t16, t_base, t16_ok = _finish_chunk(
+            buf_pixd, buf_t, total, event_cap
+        )
+        return (
+            state, buf_pixd, buf_t, buf_t16, t_base, t16_ok, total,
+            per_interval, runnings, pmax,
+        )
+
+    return jax.jit(chunk_fn)
 
 
 @functools.lru_cache(maxsize=64)
@@ -773,14 +855,9 @@ def make_transcode_chunk(
             )
         )
         buf_pixd, buf_t = bufs
-
-        # 16-bit timestamp compression for the host link
-        ok = jnp.arange(event_cap, dtype=_i32) < total
-        t_base = jnp.min(jnp.where(ok, buf_t, jnp.uint32(0xFFFFFFFF)))
-        t_base = jnp.where(total > 0, t_base, 0)
-        t_max = jnp.max(jnp.where(ok, buf_t, 0))
-        t16_ok = (t_max - t_base) < (1 << 16)
-        buf_t16 = (buf_t - t_base).astype(jnp.uint16)
+        buf_t16, t_base, t16_ok = _finish_chunk(
+            buf_pixd, buf_t, total, event_cap
+        )
         return (
             state, buf_pixd, buf_t, buf_t16, t_base, t16_ok, total,
             per_interval, runnings, max_cnt,

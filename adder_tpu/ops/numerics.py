@@ -22,17 +22,39 @@ import jax.numpy as jnp
 _f32 = jnp.float32
 _SPLIT = 4097.0  # 2^12 + 1, Veltkamp split constant (exact in f32)
 
-# Mosaic (Pallas TPU) has no optimization_barrier; a bitcast round-trip
-# serves as the anti-fusion fence inside kernels. ops.integrate toggles this.
+# Anti-FMA-contraction fence. Neither optimization_barrier nor a bitcast
+# round-trip survives to LLVM: XLA:CPU erases both before instruction
+# selection, and LLVM then contracts a single-use fmul feeding an fadd/fsub
+# into an FMA — flipping the last ulp on rounding near-ties and breaking
+# bit-parity with the (separately rounded) reference. The robust fence is
+# `min(x, F32_MAX)`: XLA cannot fold it (it differs at +inf, and +inf only
+# occurs in lanes the kernel masks out anyway), so the product is consumed
+# by a min, never directly by the add — no contraction pattern exists.
+#
+# ops.integrate toggles IN_PALLAS: False (XLA path) | "mosaic" (compiled
+# Pallas kernel — no optimization_barrier there, bitcast keeps Mosaic from
+# re-fusing) | "interpret" (kernel under pallas interpret mode — plain XLA
+# ops, same fence as the XLA path).
 IN_PALLAS = False
+
+_F32_MAX = float(jnp.finfo(jnp.float32).max)
 
 
 def barrier(x):
-    if IN_PALLAS:
+    if IN_PALLAS == "mosaic":
         return jax.lax.bitcast_convert_type(
             jax.lax.bitcast_convert_type(x, jnp.int32), _f32
         )
     return jax.lax.optimization_barrier(x)
+
+
+def product_fence(x):
+    """Fence for a rounded f32 product about to feed an add/sub (see module
+    note above): min(x, F32_MAX) breaks the fmul->fadd adjacency so LLVM
+    cannot contract it into an FMA. Only +inf changes (to F32_MAX), and the
+    callers' inf lanes are masked out. Not for values where +inf must be
+    preserved (use barrier there)."""
+    return barrier(jnp.minimum(x, _f32(_F32_MAX)))
 
 
 def _two_product(x, y):

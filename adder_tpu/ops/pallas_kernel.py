@@ -35,7 +35,7 @@ _f32 = jnp.float32
 _u32 = jnp.uint32
 
 
-def _kernel_body(p: ops.TranscodeParams):
+def _kernel_body(p: ops.TranscodeParams, interpret: bool = False):
     def kernel(
         time_ref,  # SMEM (1, 1) f32
         # inputs (VMEM blocks)
@@ -52,7 +52,7 @@ def _kernel_body(p: ops.TranscodeParams):
         o_run_val, o_run_has,  # (1, B) u8
         o_overflow,  # (1, B) i32, block count broadcast across lanes
     ):
-        numerics.IN_PALLAS = True
+        numerics.IN_PALLAS = "interpret" if interpret else "mosaic"
         try:
             s = ops._S()
             s.nd = [nd_ref[k : k + 1, :] for k in range(DEPTH)]
@@ -110,7 +110,10 @@ def _kernel_body(p: ops.TranscodeParams):
 
 
 @functools.lru_cache(maxsize=32)
-def make_interval_pallas(p: ops.TranscodeParams, n: int, block: int = 32768):
+def make_interval_pallas(
+    p: ops.TranscodeParams, n: int, block: int = 32768,
+    interpret: bool = False,
+):
     """Build the jitted Pallas interval step for an N-pixel plane.
 
     Signature: (state: PixelState, frame (N,) u8, time f32 scalar) ->
@@ -171,7 +174,7 @@ def make_interval_pallas(p: ops.TranscodeParams, n: int, block: int = 32768):
     )
 
     call = pl.pallas_call(
-        _kernel_body(p),
+        _kernel_body(p, interpret),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=0,
             grid=grid,
@@ -179,6 +182,7 @@ def make_interval_pallas(p: ops.TranscodeParams, n: int, block: int = 32768):
             out_specs=out_specs,
         ),
         out_shape=out_shape,
+        interpret=interpret,
     )
 
     def step(state: ops.PixelState, frame_u8, time):

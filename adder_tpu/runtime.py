@@ -16,6 +16,29 @@ import pathlib
 _configured = False
 
 
+def host_cache_key() -> str:
+    """Short key identifying the host CPU model.
+
+    XLA:CPU AOT executables cached on one machine load on another with
+    mismatched feature sets ("could lead to execution errors such as
+    SIGILL") and were observed to produce 1-ulp-different division results,
+    breaking bit-parity. Scoping the cache directory per host model avoids
+    reusing foreign executables."""
+    import hashlib
+    import platform
+    import re
+
+    model = platform.processor() or platform.machine() or "unknown"
+    try:
+        with open("/proc/cpuinfo") as f:
+            m = re.search(r"model name\s*:\s*(.+)", f.read())
+            if m:
+                model = m.group(1)
+    except OSError:
+        pass
+    return hashlib.sha1(model.encode()).hexdigest()[:12]
+
+
 def configure_compilation_cache() -> None:
     global _configured
     if _configured:
@@ -25,7 +48,11 @@ def configure_compilation_cache() -> None:
     if loc == "0":
         return
     if not loc:
-        loc = str(pathlib.Path(__file__).resolve().parent.parent / ".cache" / "xla")
+        loc = str(
+            pathlib.Path(__file__).resolve().parent.parent
+            / ".cache"
+            / f"xla_{host_cache_key()}"
+        )
     try:
         import jax
 

@@ -1,0 +1,253 @@
+"""EDI (Event-based Double Integral) deblur reconstructor.
+
+The reference drives the external davis-edi-rs crate on a dedicated thread
+(ref: adder-codec-rs/src/transcoder/source/davis.rs:626-632; its args
+surface in bin/args/edi_args.toml: start_c, optimize_c,
+optimize_c_frequency, deblur_only, output_fps). This is an independent,
+vectorized reimplementation of the EDI model (Pan et al., "Bringing a Blurry
+Frame Alive at High Frame-Rate with an Event Camera", CVPR 2019):
+
+  A blurry APS frame B over exposure [f, f+T] relates to the latent sharp
+  frame L(f) through the events: L(t) = L(f) * exp(c * E(t)) where E(t) is
+  the signed event count since f, so
+
+      B = (1/T) * integral_f^{f+T} L(t) dt
+        = L(f) * (1/T) * integral exp(c * E(t)) dt
+
+  The "double integral" J(c) = (1/T) * integral exp(c*E(t)) dt is piecewise
+  exponential between events and computes in one vectorized pass over the
+  exposure's events; the deblurred frame is L(f) = B / J(c).
+
+Everything is dense numpy over the pixel plane (per-pixel event segments
+via sorted scatter-adds) — no per-event Python loops. `optimize_c` picks
+the contrast threshold by maximizing deblurred-image sharpness (variance of
+the Laplacian) over a golden-section bracket, a standard focus criterion;
+davis-edi-rs's own energy-minimization internals were not copied.
+
+The reconstructor yields `DavisPacket`s, so it plugs directly into the
+Davis source (transcoder/davis.py) as its frame provider — the same role
+davis-edi-rs plays for the reference.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Iterator, List, Optional
+
+import numpy as np
+
+from ..core.types import PlaneSize
+from .davis import DavisPacket, DvsEvent
+
+DEFAULT_START_C = 0.30344322344322345  # ref: bin/args/edi_args.toml start_c
+
+
+def _integrate_exp(
+    shape: tuple[int, int],
+    xs: np.ndarray,
+    ys: np.ndarray,
+    ps: np.ndarray,  # +1 / -1
+    ts: np.ndarray,  # within [0, T), sorted per pixel (global sort is fine)
+    T: float,
+    c: float,
+) -> np.ndarray:
+    """J(c) per pixel: (1/T) * integral_0^T exp(c * E(t)) dt.
+
+    E(t) is the per-pixel cumulative polarity. Vectorized: sort events by
+    (pixel, t); segment boundaries give piecewise-constant exp(c*E) levels
+    whose durations are the timestamp gaps."""
+    H, W = shape
+    n = len(xs)
+    J = np.full(H * W, 1.0)  # pixels with no events: integral = T
+    if n == 0:
+        return J.reshape(H, W)
+    pix = ys.astype(np.int64) * W + xs.astype(np.int64)
+    order = np.lexsort((ts, pix))
+    pix = pix[order]
+    t = ts[order].astype(np.float64)
+    p = ps[order].astype(np.float64)
+
+    first = np.ones(n, dtype=bool)
+    first[1:] = pix[1:] != pix[:-1]
+    # per-pixel cumulative polarity: global cumsum minus the running total
+    # at each pixel's segment start (segmented cumsum without loops)
+    cp = np.cumsum(p)
+    idx_first = np.flatnonzero(first)
+    seg_id = np.cumsum(first) - 1
+    seg_start_cp = (cp - p)[idx_first]
+    e_before = (cp - p) - seg_start_cp[seg_id]  # E(t) during the gap ending here
+    e_after = e_before + p
+
+    # gap durations: [prev_t -> t] at level e_before; last gap to T at e_after
+    prev_t = np.empty(n)
+    prev_t[0] = 0.0
+    prev_t[1:] = np.where(first[1:], 0.0, t[:-1])
+    dur = t - prev_t
+
+    contrib = np.exp(c * e_before) * dur
+    # trailing segment per pixel: from last event to T at level e_after
+    last = np.ones(n, dtype=bool)
+    last[:-1] = first[1:]
+    contrib_tail = np.exp(c * e_after[last]) * (T - t[last])
+
+    sums = np.zeros(H * W)
+    np.add.at(sums, pix, contrib)
+    np.add.at(sums, pix[last], contrib_tail)
+    has = np.zeros(H * W, dtype=bool)
+    has[pix] = True
+    J[has] = sums[has] / T
+    return J.reshape(H, W)
+
+
+def deblur(
+    blurry: np.ndarray,  # (H, W) u8 or float
+    xs: np.ndarray,
+    ys: np.ndarray,
+    ps: np.ndarray,
+    ts: np.ndarray,  # event times relative to exposure start
+    exposure: float,
+    c: float,
+) -> np.ndarray:
+    """Deblurred latent frame L(f) = B / J(c), clipped to u8."""
+    B = blurry.astype(np.float64)
+    J = _integrate_exp(B.shape, xs, ys, ps, ts, exposure, c)
+    L = B / np.maximum(J, 1e-6)
+    return np.clip(L, 0, 255).astype(np.uint8)
+
+
+def _sharpness(img: np.ndarray) -> float:
+    """Gradient-sparsity sharpness: |grad|_2^2 / |grad|_1^2.
+
+    A sharp step edge concentrates gradient mass in few pixels (high L2 for
+    a given L1); residual blur spreads the same mass thinly, and
+    over-deblurring (too-large c) creates ringing that inflates L1 faster
+    than L2. Measured on the synthetic moving-edge scene this peaks at the
+    true contrast threshold, unlike variance-of-Laplacian which grows
+    monotonically with c."""
+    f = img.astype(np.float64)
+    gx = np.diff(f, axis=1)
+    gy = np.diff(f, axis=0)
+    l1 = np.abs(gx).sum() + np.abs(gy).sum()
+    l2 = (gx * gx).sum() + (gy * gy).sum()
+    return float(l2 / max(l1 * l1, 1.0))
+
+
+def optimize_c(
+    blurry: np.ndarray, xs, ys, ps, ts, exposure: float,
+    lo: float = 0.05, hi: float = 0.6, iters: int = 12,
+) -> float:
+    """Golden-section search for the contrast threshold maximizing
+    deblurred sharpness (ref capability: edi_args.toml optimize_c)."""
+    gr = (np.sqrt(5.0) - 1) / 2
+    a, b = lo, hi
+    c1 = b - gr * (b - a)
+    c2 = a + gr * (b - a)
+    f1 = _sharpness(deblur(blurry, xs, ys, ps, ts, exposure, c1))
+    f2 = _sharpness(deblur(blurry, xs, ys, ps, ts, exposure, c2))
+    for _ in range(iters):
+        if f1 < f2:
+            a, c1, f1 = c1, c2, f2
+            c2 = a + gr * (b - a)
+            f2 = _sharpness(deblur(blurry, xs, ys, ps, ts, exposure, c2))
+        else:
+            b, c2, f2 = c2, c1, f1
+            c1 = b - gr * (b - a)
+            f1 = _sharpness(deblur(blurry, xs, ys, ps, ts, exposure, c1))
+    return (a + b) / 2
+
+
+class EdiReconstructor:
+    """aedat4 -> deblurred DavisPackets (the davis-edi-rs role).
+
+    Groups the aedat4 stream into APS exposures; for each frame, deblurs
+    with the events inside its exposure window and emits a DavisPacket
+    carrying the deblurred frame plus the DVS events since the previous
+    frame (what the Davis source integrates in RawDavis/RawDvs modes)."""
+
+    def __init__(
+        self,
+        path_or_file,
+        start_c: float = DEFAULT_START_C,
+        optimize: bool = False,
+        optimize_frequency: int = 1,  # every N frames (edi_args.toml)
+    ):
+        from ..utils.aedat4 import Aedat4Reader, EventsPacket, FramePacket
+
+        self._EventsPacket = EventsPacket
+        self._FramePacket = FramePacket
+        self.reader = Aedat4Reader(path_or_file)
+        sx = sy = 0
+        for info in self.reader.streams.values():
+            if info.size_x:
+                sx, sy = info.size_x, info.size_y
+        self.plane = PlaneSize(sx or 346, sy or 260, 1)
+        self.c = start_c
+        self.optimize = optimize
+        self.optimize_frequency = max(optimize_frequency, 1)
+        self._frame_idx = 0
+
+    def __iter__(self) -> Iterator[DavisPacket]:
+        from ..utils.cv import handle_color
+
+        pend_t: List[np.ndarray] = []
+        pend_x: List[np.ndarray] = []
+        pend_y: List[np.ndarray] = []
+        pend_p: List[np.ndarray] = []
+        last_end_us: Optional[int] = None
+
+        for pkt in self.reader.packets():
+            if isinstance(pkt, self._EventsPacket):
+                ev = pkt.events
+                if len(ev):
+                    pend_t.append(ev["t"].astype(np.int64))
+                    pend_x.append(ev["x"].astype(np.int32))
+                    pend_y.append(ev["y"].astype(np.int32))
+                    pend_p.append(
+                        np.where(ev["on"] != 0, 1, -1).astype(np.int8)
+                    )
+                continue
+            if not isinstance(pkt, self._FramePacket):
+                continue
+            img = pkt.image
+            if img.ndim == 3:
+                img = handle_color(img, color=False)
+            t = (
+                np.concatenate(pend_t) if pend_t else np.empty(0, np.int64)
+            )
+            x = np.concatenate(pend_x) if pend_x else np.empty(0, np.int32)
+            y = np.concatenate(pend_y) if pend_y else np.empty(0, np.int32)
+            p = np.concatenate(pend_p) if pend_p else np.empty(0, np.int8)
+            pend_t, pend_x, pend_y, pend_p = [], [], [], []
+
+            exp_b = pkt.exposure_begin_t
+            exp_e = max(pkt.exposure_end_t, exp_b + 1)
+            in_exp = (t >= exp_b) & (t < exp_e)
+            exposure = float(exp_e - exp_b)
+            if self.optimize and (
+                self._frame_idx % self.optimize_frequency == 0
+            ) and int(in_exp.sum()) > 0:
+                self.c = optimize_c(
+                    img, x[in_exp], y[in_exp], p[in_exp],
+                    (t[in_exp] - exp_b).astype(np.float64), exposure,
+                )
+            sharp = deblur(
+                img, x[in_exp], y[in_exp], p[in_exp],
+                (t[in_exp] - exp_b).astype(np.float64), exposure, self.c,
+            )
+
+            start_us = last_end_us if last_end_us is not None else exp_b
+            events = [
+                DvsEvent(t=int(tt), x=int(xx), y=int(yy), on=pp > 0)
+                for tt, xx, yy, pp in zip(t, x, y, p)
+            ]
+            yield DavisPacket(
+                frame=sharp,
+                frame_start_us=int(exp_b),
+                frame_end_us=int(exp_e),
+                events=events,
+            )
+            last_end_us = exp_e
+            self._frame_idx += 1
+
+    def close(self):
+        self.reader.close()

@@ -92,6 +92,12 @@ class Video:
         if os.environ.get("ADDER_TPU_FORCE_PALLAS") == "0":
             use_pallas = False
         self._pallas_block = 4096 if use_pallas else 0
+        # Fused in-kernel compaction (ops/fused_kernel.py) is the default
+        # Pallas path: events are compacted inside the interval kernel and
+        # DMA'd to the chunk buffer — no top_k/gather stage.
+        self._fused = use_pallas
+        if os.environ.get("ADDER_TPU_FUSED") == "0":
+            self._fused = False
         if self._pallas_block:
             self.n_state = (
                 (self.n + self._pallas_block - 1) // self._pallas_block
@@ -107,6 +113,7 @@ class Video:
         self.encoder_type = EncoderType.Empty
 
         self._chunk_fns: dict = {}
+        self._warmed: set = set()  # background-compiled (cap, pack, T) keys
         self._cap_mult = 1  # event capacity = _cap_mult * N * T per chunk
         self._pack = 4  # slot-packing lanes (K_SLOTS disables packing)
         self.running_intensities = np.zeros(plane.shape, dtype=np.uint8)
@@ -287,10 +294,48 @@ class Video:
         )
 
     def _chunk_fn(self, cap: int, pack: int = 4):
+        n_real = self.n if self.n_state != self.n else 0
+        if self._fused:
+            return ops.make_fused_chunk(
+                self._params(), cap, pack, self._pallas_block, n_real
+            )
         return ops.make_transcode_chunk(
-            self._params(), cap, pack, self._pallas_block,
-            self.n if self.n_state != self.n else 0,
+            self._params(), cap, pack, self._pallas_block, n_real
         )
+
+    def _prewarm_chunk_fn(self, cap: int, pack: int, T: int) -> None:
+        """AOT-compile a chunk graph on a background thread so capacity-step
+        transitions (cap_mult growth on overflow, decay afterwards) never
+        stall the stream with a 20-50 s compile (round-1 diagnosed the color
+        1080p "slowdown" as exactly this thrash). The persistent XLA cache
+        makes each warm a one-time cost per machine."""
+        key = (cap, pack, T, self._params())
+        if key in self._warmed:
+            return
+        self._warmed.add(key)
+
+        import threading
+
+        import jax
+
+        def run():
+            try:
+                fn = self._chunk_fn(cap, pack)
+                n = self.n_state
+                sd = jax.ShapeDtypeStruct
+                state = jax.tree.map(
+                    lambda x: sd(x.shape, x.dtype), self.state
+                )
+                fn.lower(
+                    state,
+                    sd((T, n), jnp.uint8),
+                    sd((), jnp.float32),
+                    sd((n,), jnp.uint8),
+                ).compile()
+            except Exception:
+                pass  # warm-up is best-effort; the foreground path compiles
+
+        threading.Thread(target=run, daemon=True).start()
 
     def integrate_matrix(
         self, matrix: np.ndarray, time_spanned: float
@@ -365,6 +410,10 @@ class Video:
             mult = ops.K_SLOTS
         cap = mult * self.n_state * T
         fn = self._chunk_fn(cap, self._pack)
+        if mult < ops.K_SLOTS:
+            # an overflow would block on a fresh compile; warm it now
+            next_cap = min(mult * 2, ops.K_SLOTS) * self.n_state * T
+            self._prewarm_chunk_fn(next_cap, self._pack, T)
         state_before = self.state
         outs = fn(self.state, frames_u8, t, run0)
         self.state = outs[0]  # optimistic; collect_chunk reverts on overflow
@@ -412,10 +461,16 @@ class Video:
                 )
             )
             total_i = int(total_i)
-            take = ops.per_interval_take(cap, T)
-            overflowed = total_i > cap or int(per_int_max) > min(
-                take, ops.K_SLOTS * self.n_state
-            )
+            if self._fused:
+                # fused kernel: no per-interval prefix limit — any interval
+                # may fill the remaining chunk buffer
+                take = cap
+                overflowed = total_i > cap
+            else:
+                take = ops.per_interval_take(cap, T)
+                overflowed = total_i > cap or int(per_int_max) > min(
+                    take, ops.K_SLOTS * self.n_state
+                )
             pack_overflow = pack < ops.K_SLOTS and int(pack_max_i) > pack
             if not overflowed and not pack_overflow:
                 # decay the capacity once bursts pass (a scene-change chunk
@@ -424,8 +479,9 @@ class Video:
                     self._cap_mult //= 2
             if pack_overflow:
                 # a pixel emitted more events than the packed lanes hold:
-                # this plane/content needs the unpacked graph permanently
-                self._pack = pack = ops.K_SLOTS
+                # this plane/content needs the lossless-slot graph
+                # permanently (fused: 16 >= K_SLOTS, 128 % pack == 0)
+                self._pack = pack = 16 if self._fused else ops.K_SLOTS
             elif not overflowed or mult >= ops.K_SLOTS:
                 break
             else:

@@ -1,0 +1,426 @@
+"""AEDAT4 container reader/writer (DV / DAVIS camera files).
+
+The reference ingests aedat4 through the external davis-edi-rs crate
+(ref: adder-codec-rs/src/lib.rs:22 `pub use davis_edi_rs::aedat`,
+bin_cv/davis_to_adder.rs, bin_cv/aedat4_dvs_visualize.rs). This is a
+dependency-light reimplementation of the container from its public
+specification:
+
+  file      = "#!AER-DAT4.0\\r\\n"  ioheader  packet*
+  ioheader  = i32 length + flatbuffer IOHeader{compression: i32,
+              dataTablePosition: i64, infoNode: string(XML)}
+  packet    = i32 stream_id, i32 size, `size` bytes of (possibly
+              compressed) flatbuffer payload
+  events    = flatbuffer EventPacket{elements: [struct Event{t: i64,
+              x: i16, y: i16, on: bool}]}   (16-byte stride structs)
+  frames    = flatbuffer Frame{t, begin/end exposure ts, sizes, offsets,
+              format, pixels: [u8]}
+
+Compression: NONE, LZ4 (frame format; block decode is native C++ —
+codec/native), or ZSTD (python-zstandard). Flatbuffers are hand-walked for
+these two fixed schemas (no generated code needed: root u32 -> table ->
+vtable -> field offsets).
+
+The writer emits NONE or ZSTD files and exists for tools and test
+fixtures; DV itself writes LZ4 by default, which the reader handles.
+"""
+
+from __future__ import annotations
+
+import io
+import struct
+import xml.etree.ElementTree as ET
+from dataclasses import dataclass, field
+from typing import BinaryIO, Iterator, Optional
+
+import numpy as np
+
+MAGIC = b"#!AER-DAT4.0\r\n"
+
+COMPRESSION_NONE = 0
+COMPRESSION_LZ4 = 1
+COMPRESSION_LZ4_HIGH = 2
+COMPRESSION_ZSTD = 4
+COMPRESSION_ZSTD_HIGH = 5
+
+EVENT_DTYPE = np.dtype(
+    [("t", "<i8"), ("x", "<i2"), ("y", "<i2"), ("on", "<i1"),
+     ("_pad", "V3")]
+)
+
+
+# ------------------------------------------------------- flatbuffer walk ----
+
+
+def _fb_root_table(buf: bytes, offset: int = 0) -> int:
+    return offset + struct.unpack_from("<I", buf, offset)[0]
+
+
+def _fb_field(buf: bytes, table: int, field_idx: int) -> Optional[int]:
+    """Absolute position of a table field's inline value, or None."""
+    vtable = table - struct.unpack_from("<i", buf, table)[0]
+    vsize = struct.unpack_from("<H", buf, vtable)[0]
+    slot = 4 + 2 * field_idx
+    if slot + 2 > vsize:
+        return None
+    voff = struct.unpack_from("<H", buf, vtable + slot)[0]
+    if voff == 0:
+        return None
+    return table + voff
+
+
+def _fb_indirect(buf: bytes, pos: int) -> int:
+    return pos + struct.unpack_from("<I", buf, pos)[0]
+
+
+def _fb_vector(buf: bytes, pos: int) -> tuple[int, int]:
+    """(element_start, length) for a vector field at `pos`."""
+    vec = _fb_indirect(buf, pos)
+    n = struct.unpack_from("<I", buf, vec)[0]
+    return vec + 4, n
+
+
+def _fb_string(buf: bytes, pos: int) -> bytes:
+    start, n = _fb_vector(buf, pos)
+    return buf[start : start + n]
+
+
+def _fb_i32(buf: bytes, pos: Optional[int], default: int = 0) -> int:
+    return default if pos is None else struct.unpack_from("<i", buf, pos)[0]
+
+
+def _fb_i64(buf: bytes, pos: Optional[int], default: int = 0) -> int:
+    return default if pos is None else struct.unpack_from("<q", buf, pos)[0]
+
+
+@dataclass
+class StreamInfo:
+    stream_id: int
+    type_id: str  # "EVTS" | "FRME" | other
+    size_x: int = 0
+    size_y: int = 0
+
+
+@dataclass
+class EventsPacket:
+    stream_id: int
+    events: np.ndarray  # EVENT_DTYPE structured array
+
+
+@dataclass
+class FramePacket:
+    stream_id: int
+    t: int
+    exposure_begin_t: int
+    exposure_end_t: int
+    image: np.ndarray  # (H, W) u8
+
+
+class Aedat4Reader:
+    """Iterates decoded packets of an AEDAT4 file."""
+
+    def __init__(self, path_or_file):
+        if isinstance(path_or_file, (str, bytes)):
+            self.f: BinaryIO = open(path_or_file, "rb")
+        else:
+            self.f = path_or_file
+        magic = self.f.read(len(MAGIC))
+        if magic != MAGIC:
+            raise ValueError(f"not an AEDAT4 file (magic {magic!r})")
+        (hdr_len,) = struct.unpack("<i", self.f.read(4))
+        hdr = self.f.read(hdr_len)
+        t = _fb_root_table(hdr)
+        self.compression = _fb_i32(hdr, _fb_field(hdr, t, 0), 0)
+        info_pos = _fb_field(hdr, t, 2)
+        self.info_xml = (
+            _fb_string(hdr, info_pos).decode() if info_pos is not None else ""
+        )
+        self.streams = self._parse_streams(self.info_xml)
+
+    @staticmethod
+    def _parse_streams(info_xml: str) -> dict[int, StreamInfo]:
+        streams: dict[int, StreamInfo] = {}
+        if not info_xml:
+            return streams
+        root = ET.fromstring(info_xml)
+        for node in root.iter("node"):
+            if node.get("path", "").startswith("/mainloop/"):
+                continue
+            name = node.get("name", "")
+            if not name.isdigit():
+                continue
+            sid = int(name)
+            info = StreamInfo(stream_id=sid, type_id="")
+            for attr in node.iter("attr"):
+                key = attr.get("key")
+                if key == "typeIdentifier":
+                    info.type_id = (attr.text or "").strip()
+            # sizeX/sizeY live in the "info" child node
+            for sub in node.iter("node"):
+                if sub.get("name") == "info":
+                    for attr in sub.iter("attr"):
+                        if attr.get("key") == "sizeX":
+                            info.size_x = int(attr.text)
+                        elif attr.get("key") == "sizeY":
+                            info.size_y = int(attr.text)
+            streams[sid] = info
+        return streams
+
+    def _decompress(self, payload: bytes) -> bytes:
+        c = self.compression
+        if c == COMPRESSION_NONE:
+            return payload
+        if c in (COMPRESSION_ZSTD, COMPRESSION_ZSTD_HIGH):
+            import zstandard
+
+            return zstandard.ZstdDecompressor().decompress(
+                payload, max_output_size=1 << 28
+            )
+        if c in (COMPRESSION_LZ4, COMPRESSION_LZ4_HIGH):
+            return _lz4_frame_decompress(payload)
+        raise ValueError(f"unsupported aedat4 compression {c}")
+
+    def packets(self) -> Iterator[object]:
+        while True:
+            hdr = self.f.read(8)
+            if len(hdr) < 8:
+                return
+            stream_id, size = struct.unpack("<ii", hdr)
+            payload = self.f.read(size)
+            if len(payload) < size:
+                return
+            buf = self._decompress(payload)
+            info = self.streams.get(stream_id)
+            type_id = info.type_id if info else ""
+            if type_id == "EVTS" or (not type_id and stream_id == 0):
+                yield self._parse_events(stream_id, buf)
+            elif type_id == "FRME" or (not type_id and stream_id == 1):
+                yield self._parse_frame(stream_id, buf)
+            # other stream types (IMU, triggers) are skipped
+
+    @staticmethod
+    def _parse_events(stream_id: int, buf: bytes) -> EventsPacket:
+        t = _fb_root_table(buf, 4)  # size-prefixed root
+        pos = _fb_field(buf, t, 0)
+        if pos is None:
+            ev = np.empty(0, EVENT_DTYPE)
+        else:
+            start, n = _fb_vector(buf, pos)
+            ev = np.frombuffer(
+                buf, dtype=EVENT_DTYPE, count=n, offset=start
+            )
+        return EventsPacket(stream_id, ev)
+
+    @staticmethod
+    def _parse_frame(stream_id: int, buf: bytes) -> FramePacket:
+        t = _fb_root_table(buf, 4)
+        ts = _fb_i64(buf, _fb_field(buf, t, 0))
+        exp_b = _fb_i64(buf, _fb_field(buf, t, 1))
+        exp_e = _fb_i64(buf, _fb_field(buf, t, 2))
+        # fields: 3 format, 4 sizeX, 5 sizeY, 6 offsetX, 7 offsetY, 8 pixels
+        w = _fb_i32(buf, _fb_field(buf, t, 4))
+        h = _fb_i32(buf, _fb_field(buf, t, 5))
+        pos = _fb_field(buf, t, 8)
+        start, n = _fb_vector(buf, pos)
+        img = np.frombuffer(buf, np.uint8, count=n, offset=start)
+        if w * h == n:
+            img = img.reshape(h, w)
+        elif w * h * 3 == n:  # BGR frame: ITU-601-ish luma via cv utils
+            img = img.reshape(h, w, 3)
+        return FramePacket(stream_id, ts, exp_b, exp_e, img)
+
+    def close(self):
+        self.f.close()
+
+
+def _lz4_frame_decompress(payload: bytes) -> bytes:
+    """LZ4 frame format -> bytes (block decode is native C++)."""
+    from ..codec.compressed import lz4_block_decompress
+
+    if payload[:4] != b"\x04\x22\x4d\x18":
+        raise ValueError("not an LZ4 frame")
+    pos = 4
+    flg = payload[pos]
+    bd = payload[pos + 1]
+    pos += 2
+    content_size_flag = (flg >> 3) & 1
+    block_checksum = (flg >> 4) & 1
+    content_checksum = (flg >> 2) & 1
+    block_indep = (flg >> 5) & 1
+    if content_size_flag:
+        pos += 8
+    pos += 1  # header checksum byte
+    max_block = [0, 0, 0, 0, 64 << 10, 256 << 10, 1 << 20, 4 << 20][
+        (bd >> 4) & 7
+    ]
+    out = io.BytesIO()
+    window = b""
+    while pos + 4 <= len(payload):
+        (bsize,) = struct.unpack_from("<I", payload, pos)
+        pos += 4
+        if bsize == 0:
+            break  # EndMark
+        uncompressed = bool(bsize & 0x80000000)
+        bsize &= 0x7FFFFFFF
+        block = payload[pos : pos + bsize]
+        pos += bsize
+        if block_checksum:
+            pos += 4
+        if uncompressed:
+            data = block
+        else:
+            if not block_indep and window:
+                # dependent blocks need the previous 64 KB as prefix
+                prefix = window[-(64 << 10):]
+                data = lz4_block_decompress_with_prefix(
+                    block, prefix, max_block
+                )
+            else:
+                data = lz4_block_decompress(block, max_block)
+        out.write(data)
+        window = data if block_indep else (window + data)[-(64 << 10):]
+    if content_checksum:
+        pos += 4
+    return out.getvalue()
+
+
+def lz4_block_decompress_with_prefix(
+    block: bytes, prefix: bytes, max_block: int
+) -> bytes:
+    from ..codec.compressed import lz4_block_decompress
+
+    # decode with the prefix in the window by prepending it as literals is
+    # not possible at the block layer; instead decode into a buffer that
+    # already contains the prefix
+    from ..codec.compressed import _get_lib, _ptr
+    import ctypes
+
+    lib = _get_lib()
+    src = np.frombuffer(block, np.uint8)
+    cap = len(prefix) + max_block
+    dst = np.empty(cap, np.uint8)
+    dst[: len(prefix)] = np.frombuffer(prefix, np.uint8)
+    n = lib.adder_lz4_block_decompress_prefixed(
+        _ptr(src, ctypes.c_uint8), len(src),
+        _ptr(dst, ctypes.c_uint8), cap, len(prefix),
+    )
+    if n < 0:
+        raise ValueError("malformed LZ4 block")
+    return dst[len(prefix) : n].tobytes()
+
+
+# --------------------------------------------------------------- writer ----
+
+
+class Aedat4Writer:
+    """Writes event (+frame) packets; compression NONE or ZSTD.
+
+    For test fixtures and the aedat4 tools; DV's own files (LZ4) are
+    covered by the reader."""
+
+    def __init__(self, path_or_file, size_x: int, size_y: int,
+                 compression: int = COMPRESSION_NONE):
+        if isinstance(path_or_file, (str, bytes)):
+            self.f: BinaryIO = open(path_or_file, "wb")
+        else:
+            self.f = path_or_file
+        self.compression = compression
+        self.f.write(MAGIC)
+        info = self._info_xml(size_x, size_y)
+        hdr = self._build_ioheader(compression, info)
+        self.f.write(struct.pack("<i", len(hdr)))
+        self.f.write(hdr)
+
+    @staticmethod
+    def _info_xml(size_x: int, size_y: int) -> str:
+        return (
+            '<dv version="2.0">'
+            '<node name="outInfo" path="/outInfo/">'
+            '<node name="0" path="/outInfo/0/">'
+            '<attr key="typeIdentifier" type="string">EVTS</attr>'
+            '<node name="info" path="/outInfo/0/info/">'
+            f'<attr key="sizeX" type="int">{size_x}</attr>'
+            f'<attr key="sizeY" type="int">{size_y}</attr>'
+            "</node></node>"
+            '<node name="1" path="/outInfo/1/">'
+            '<attr key="typeIdentifier" type="string">FRME</attr>'
+            '<node name="info" path="/outInfo/1/info/">'
+            f'<attr key="sizeX" type="int">{size_x}</attr>'
+            f'<attr key="sizeY" type="int">{size_y}</attr>'
+            "</node></node>"
+            "</node></dv>"
+        )
+
+    @staticmethod
+    def _build_ioheader(compression: int, info_xml: str) -> bytes:
+        # table IOHeader { compression: i32 (id 0); dataTablePosition: i64
+        # (id 1); infoNode: string (id 2); }
+        info_b = info_xml.encode()
+        # layout: [root u32][vtable][table][string]
+        vtable = struct.pack("<HHHHH", 10, 20, 4, 8, 16)
+        # table: soffset(4) compression(4) dataTablePosition(8) infoNode(4)
+        table_pos = 4 + len(vtable)
+        string_pos = table_pos + 20
+        table = struct.pack(
+            "<iiqI", len(vtable), compression, -1,
+            string_pos - (table_pos + 16),
+        )
+        s = struct.pack("<I", len(info_b)) + info_b + b"\x00"
+        return struct.pack("<I", table_pos) + vtable + table + s
+
+    def _emit(self, stream_id: int, buf: bytes) -> None:
+        if self.compression in (COMPRESSION_ZSTD, COMPRESSION_ZSTD_HIGH):
+            import zstandard
+
+            buf = zstandard.ZstdCompressor().compress(buf)
+        self.f.write(struct.pack("<ii", stream_id, len(buf)))
+        self.f.write(buf)
+
+    def write_events(self, t, x, y, on, stream_id: int = 0) -> None:
+        ev = np.zeros(len(t), EVENT_DTYPE)
+        ev["t"] = t
+        ev["x"] = x
+        ev["y"] = y
+        ev["on"] = np.asarray(on).astype(np.int8)
+        payload = ev.tobytes()
+        # table EventPacket { elements: [Event] (id 0) }
+        # layout: [root size prefix][root u32][vtable][table][vec]
+        vtable = struct.pack("<HHH", 6, 8, 4)
+        table_pos = 8 + len(vtable)
+        vec_pos = table_pos + 8
+        table = struct.pack("<iI", len(vtable), vec_pos - (table_pos + 4))
+        vec = struct.pack("<I", len(ev)) + payload
+        body = struct.pack("<I", table_pos - 4) + vtable + table + vec
+        buf = struct.pack("<I", len(body)) + body
+        self._emit(stream_id, buf)
+
+    def write_frame(self, t: int, exp_begin: int, exp_end: int,
+                    image: np.ndarray, stream_id: int = 1) -> None:
+        img = np.ascontiguousarray(image, dtype=np.uint8)
+        h, w = img.shape[:2]
+        pixels = img.tobytes()
+        # table Frame: 0 t(i64), 1 beginExp(i64), 2 endExp(i64), 3 format,
+        # 4 sizeX, 5 sizeY, 6 offsetX, 7 offsetY, 8 pixels([u8])
+        # vtable covers 9 fields
+        n_fields = 9
+        vsize = 4 + 2 * n_fields  # 22
+        # table layout: soffset(4) t(8) expB(8) expE(8) format(4) sizeX(4)
+        # sizeY(4) offX(4) offY(4) pixels_off(4) = 52
+        offs = {0: 4, 1: 12, 2: 20, 3: 28, 4: 32, 5: 36, 6: 40, 7: 44, 8: 48}
+        vtable = struct.pack(
+            "<HH" + "H" * n_fields, vsize, 52,
+            *[offs[i] for i in range(n_fields)],
+        )
+        table_pos = 8 + len(vtable)
+        vec_pos = table_pos + 52
+        table = struct.pack(
+            "<iqqqiiiiiI", len(vtable), t, exp_begin, exp_end, 0, w, h, 0, 0,
+            vec_pos - (table_pos + 48),
+        )
+        vec = struct.pack("<I", len(pixels)) + pixels
+        body = struct.pack("<I", table_pos - 4) + vtable + table + vec
+        buf = struct.pack("<I", len(body)) + body
+        self._emit(stream_id, buf)
+
+    def close(self):
+        self.f.close()

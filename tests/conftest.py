@@ -20,10 +20,24 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import pathlib
 
 import jax
+
+# The env var alone is not enough: environments that pre-register an
+# accelerator plugin at interpreter startup (sitecustomize) override
+# JAX_PLATFORMS, silently putting the suite on the accelerator. Pin the
+# platform by config before any backend initialization.
+jax.config.update("jax_platforms", "cpu")
+
 import pytest
 
-# persistent XLA compilation cache: repeat test runs skip the ~40s scans
-jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax_test")
+# persistent XLA compilation cache: repeat test runs skip the ~40s scans.
+# Keyed by host CPU model (see runtime.host_cache_key): XLA:CPU AOT
+# executables from a different machine load with mismatched feature sets and
+# produced off-by-1-ulp division results, breaking bit-parity assertions.
+from adder_tpu.runtime import host_cache_key
+
+jax.config.update(
+    "jax_compilation_cache_dir", f"/root/.cache/jax_test_{host_cache_key()}"
+)
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
 
