@@ -91,7 +91,7 @@ def _interleave(x_1xB: jax.Array, C_ref, pack: int, lo_only: bool) -> jax.Array:
     The caller combines `pack` such arrays with lane-class selects. Values
     are split into 16-bit halves so the 0/1 matmuls are exact in f32.
     `lo_only` skips the high half for values known < 2^16."""
-    B = x_1xB.shape[1]
+    B = x_1xB.size
     xrows = B // 128
     R = B * pack // 128
     x = x_1xB.reshape(xrows, 128)
@@ -153,7 +153,11 @@ def _rank_exclusive(valid: jax.Array) -> jax.Array:
 
 
 def _kernel_body(p: ops.TranscodeParams, block: int, pack: int,
-                 rows_cap: int, n_real: int, interpret: bool = False):
+                 rows_cap: int, n_real: int, interpret: bool = False,
+                 debug_stage: int = 0):
+    # debug_stage (profiling only; events are garbage for stage > 0):
+    # 0 full | 1 skip log-shift passes | 2 also skip interleave | 3 also
+    # skip packing (interval core + DMA skeleton only)
     B = block
     R = B * pack // 128
     SROWS = R + 1  # head row + event rows (logical)
@@ -166,6 +170,7 @@ def _kernel_body(p: ops.TranscodeParams, block: int, pack: int,
     def kernel(
         time_ref, off_in_ref,  # SMEM (1,1) f32, (1,) i32
         C_ref,  # VMEM (pack*128, 128) f32
+        live_ref,  # (1, B) u8: 1 for real pixels, 0 for plane padding
         frame_ref,  # (1, B) u8
         nd_ref, ni_ref, ndt_ref, bd_ref, bdt_ref,  # (DEPTH, B)
         length_ref, base_ref, cth_ref, cic_ref,  # (1, B) i32
@@ -211,55 +216,69 @@ def _kernel_body(p: ops.TranscodeParams, block: int, pack: int,
         q = jax.lax.rem(off, 128)
 
         # ---- interval state machine (shared with the XLA path) ----
+        # (1, B) vectors occupy one sublane of each 8x128 vreg; reshape the
+        # block to (8, B/8) so the ~2000 elementwise interval ops run at
+        # full VPU occupancy (measured ~2x whole-kernel speedup at 1080p).
+        # The reshape is layout-natural (row-major) so pixel order within
+        # the block is unchanged.
+        SUB, LN = 8, B // 8
+        r8 = lambda x: x.reshape(SUB, LN)
+        r1 = lambda x: x.reshape(1, B)
         numerics.IN_PALLAS = "interpret" if interpret else "mosaic"
         try:
             s = ops._S()
-            s.nd = [nd_ref[k : k + 1, :] for k in range(DEPTH)]
-            s.ni = [ni_ref[k : k + 1, :] for k in range(DEPTH)]
-            s.ndt = [ndt_ref[k : k + 1, :] for k in range(DEPTH)]
-            s.bd = [bd_ref[k : k + 1, :] for k in range(DEPTH)]
-            s.bdt = [bdt_ref[k : k + 1, :] for k in range(DEPTH)]
-            s.length = length_ref[:]
-            s.base_val = base_ref[:]
-            s.c_thresh = cth_ref[:]
-            s.cic = cic_ref[:]
-            s.lft = lft_ref[:]
-            s.running_t = rt_ref[:]
-            s.need_pop = need_ref[:] != 0
-            s.dtm_reached = dtm_ref[:] != 0
-            s.popped_dtm = popped_ref[:] != 0
+            s.nd = [r8(nd_ref[k : k + 1, :]) for k in range(DEPTH)]
+            s.ni = [r8(ni_ref[k : k + 1, :]) for k in range(DEPTH)]
+            s.ndt = [r8(ndt_ref[k : k + 1, :]) for k in range(DEPTH)]
+            s.bd = [r8(bd_ref[k : k + 1, :]) for k in range(DEPTH)]
+            s.bdt = [r8(bdt_ref[k : k + 1, :]) for k in range(DEPTH)]
+            s.length = r8(length_ref[:])
+            s.base_val = r8(base_ref[:])
+            s.c_thresh = r8(cth_ref[:])
+            s.cic = r8(cic_ref[:])
+            s.lft = r8(lft_ref[:])
+            s.running_t = r8(rt_ref[:])
+            s.need_pop = r8(need_ref[:]) != 0
+            s.dtm_reached = r8(dtm_ref[:]) != 0
+            s.popped_dtm = r8(popped_ref[:]) != 0
             s.overflow = jnp.zeros((), _i32)
 
-            fv = frame_ref[:].astype(_i32)
+            fv = r8(frame_ref[:]).astype(_i32)
             intensity = fv.astype(_f32)
             slots, (run_val, run_has) = ops._interval_core(
                 s, intensity, fv, time_ref[0, 0], p
             )
 
             for k in range(DEPTH):
-                o_nd[k : k + 1, :] = s.nd[k]
-                o_ni[k : k + 1, :] = s.ni[k]
-                o_ndt[k : k + 1, :] = s.ndt[k]
-                o_bd[k : k + 1, :] = s.bd[k]
-                o_bdt[k : k + 1, :] = s.bdt[k]
-            o_length[:] = s.length
-            o_base[:] = s.base_val
-            o_cth[:] = s.c_thresh
-            o_cic[:] = s.cic
-            o_lft[:] = s.lft
-            o_rt[:] = s.running_t
-            o_need[:] = s.need_pop.astype(jnp.uint8)
-            o_dtm[:] = s.dtm_reached.astype(jnp.uint8)
-            o_popped[:] = s.popped_dtm.astype(jnp.uint8)
-            o_run_val[:] = run_val
-            o_run_has[:] = run_has.astype(jnp.uint8)
+                o_nd[k : k + 1, :] = r1(s.nd[k])
+                o_ni[k : k + 1, :] = r1(s.ni[k])
+                o_ndt[k : k + 1, :] = r1(s.ndt[k])
+                o_bd[k : k + 1, :] = r1(s.bd[k])
+                o_bdt[k : k + 1, :] = r1(s.bdt[k])
+            o_length[:] = r1(s.length)
+            o_base[:] = r1(s.base_val)
+            o_cth[:] = r1(s.c_thresh)
+            o_cic[:] = r1(s.cic)
+            o_lft[:] = r1(s.lft)
+            o_rt[:] = r1(s.running_t)
+            o_need[:] = r1(s.need_pop.astype(jnp.uint8))
+            o_dtm[:] = r1(s.dtm_reached.astype(jnp.uint8))
+            o_popped[:] = r1(s.popped_dtm.astype(jnp.uint8))
+            o_run_val[:] = r1(run_val)
+            o_run_has[:] = r1(run_has.astype(jnp.uint8))
         finally:
             numerics.IN_PALLAS = False
 
         # ---- event slots -> packed per-pixel lanes ----
-        pix = b * B + jax.lax.broadcasted_iota(_i32, (1, B), 1)
+        pix = b * B + (
+            jax.lax.broadcasted_iota(_i32, (SUB, LN), 0) * LN
+            + jax.lax.broadcasted_iota(_i32, (SUB, LN), 1)
+        )
         if n_real:
-            live = pix < n_real
+            # pad-pixel suppression comes in as data: computing the mask
+            # from program_id arithmetic trips an unimplemented "sublane
+            # broadcast" lowering in Mosaic
+            live = r8(live_ref[:]) != 0
             slots = [(d, t, m & live) for (d, t, m) in slots]
 
         # wire-packed event value (pix << 8 | d); pix < 2^23 so i32-safe
@@ -267,10 +286,14 @@ def _kernel_body(p: ops.TranscodeParams, block: int, pack: int,
             ((pix << 8) | (d & 0xFF), _bitcast_i32(t), m)
             for (d, t, m) in slots
         ]
-        cnt = jnp.zeros((1, B), _i32)
-        if pack < K:
-            pd = [jnp.zeros((1, B), _i32) for _ in range(pack)]
-            pt = [jnp.zeros((1, B), _i32) for _ in range(pack)]
+        cnt = jnp.zeros((SUB, LN), _i32)
+        if debug_stage >= 3:
+            pd = [x[0] for x in pixd[:1]] * pack
+            pt = [x[1] for x in pixd[:1]] * pack
+            mw = jnp.zeros((1, B), _i32)
+        elif pack < K:
+            pd = [jnp.zeros((SUB, LN), _i32) for _ in range(pack)]
+            pt = [jnp.zeros((SUB, LN), _i32) for _ in range(pack)]
             for pd_k, t_k, m_k in pixd:
                 for j in range(pack):
                     place = m_k & (cnt == j)
@@ -283,12 +306,12 @@ def _kernel_body(p: ops.TranscodeParams, block: int, pack: int,
             # unpacked: lanes are the K slots themselves (gaps allowed —
             # the compaction rank skips invalid lanes)
             pd = [x[0] for x in pixd] + [
-                jnp.zeros((1, B), _i32) for _ in range(pack - K)
+                jnp.zeros((SUB, LN), _i32) for _ in range(pack - K)
             ]
             pt = [x[1] for x in pixd] + [
-                jnp.zeros((1, B), _i32) for _ in range(pack - K)
+                jnp.zeros((SUB, LN), _i32) for _ in range(pack - K)
             ]
-            mw = jnp.zeros((1, B), _i32)
+            mw = jnp.zeros((SUB, LN), _i32)
             for k, (_, _, m_k) in enumerate(pixd):
                 mw = mw | (m_k.astype(_i32) << k)
                 cnt = cnt + m_k.astype(_i32)
@@ -297,13 +320,18 @@ def _kernel_body(p: ops.TranscodeParams, block: int, pack: int,
         # ---- interleave to pixel-major staging order ----
         lane = jax.lax.broadcasted_iota(_i32, (R, 128), 1)
         lmod = lane % pack
-        fp = jnp.zeros((R, 128), _i32)
-        ft = jnp.zeros((R, 128), _i32)
-        for j in range(pack):
-            fp = jnp.where(lmod == j, _interleave(pd[j], C_ref, pack, False), fp)
-            ft = jnp.where(lmod == j, _interleave(pt[j], C_ref, pack, False), ft)
-        MW = _interleave(mw, C_ref, pack, True)
-        fvalid = ((MW >> lmod) & 1).astype(_i32)
+        if debug_stage >= 2:
+            fp = jnp.broadcast_to(pd[0][:1, :128], (R, 128)).astype(_i32)
+            ft = fp
+            fvalid = (fp & 1)
+        else:
+            fp = jnp.zeros((R, 128), _i32)
+            ft = jnp.zeros((R, 128), _i32)
+            for j in range(pack):
+                fp = jnp.where(lmod == j, _interleave(pd[j], C_ref, pack, False), fp)
+                ft = jnp.where(lmod == j, _interleave(pt[j], C_ref, pack, False), ft)
+            MW = _interleave(mw, C_ref, pack, True)
+            fvalid = ((MW >> lmod) & 1).astype(_i32)
 
         # ---- destinations ----
         rank = _rank_exclusive(fvalid)
@@ -330,7 +358,7 @@ def _kernel_body(p: ops.TranscodeParams, block: int, pack: int,
         rowf = jax.lax.broadcasted_iota(_i32, (SROWS, 128), 0) * 128 + (
             jax.lax.broadcasted_iota(_i32, (SROWS, 128), 1)
         )
-        for bi in range(NPASS):
+        for bi in range(NPASS if debug_stage < 1 else 0):
             step = 1 << bi
             sp = _flat_shift_left(cp, step)
             st = _flat_shift_left(ct_, step)
@@ -404,6 +432,7 @@ def make_fused_interval(
     pack: int = 4,
     n_real: int = 0,
     interpret: bool = False,
+    debug_stage: int = 0,
 ):
     """Build the fused interval+compaction step for an N-pixel plane.
 
@@ -434,6 +463,7 @@ def make_fused_interval(
         pl.BlockSpec(
             (pack * 128, 128), lambda i: (0, 0), memory_space=pltpu.VMEM
         ),  # colpick
+        flat_spec(),  # live mask
         flat_spec(),  # frame
         depth_spec(), depth_spec(), depth_spec(), depth_spec(), depth_spec(),
         flat_spec(), flat_spec(), flat_spec(), flat_spec(),
@@ -484,7 +514,7 @@ def make_fused_interval(
     ]
 
     call = pl.pallas_call(
-        _kernel_body(p, block, pack, rows_cap, n_real, interpret),
+        _kernel_body(p, block, pack, rows_cap, n_real, interpret, debug_stage),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=0,
             grid=grid,
@@ -493,7 +523,7 @@ def make_fused_interval(
             scratch_shapes=scratch_shapes,
         ),
         out_shape=out_shape,
-        input_output_aliases={18: 16, 19: 17},
+        input_output_aliases={19: 16, 20: 17},
         interpret=interpret,
     )
 
@@ -501,12 +531,13 @@ def make_fused_interval(
     # under a different jit trace — a jnp constant created inside one trace
     # leaks as a tracer into the next (jax stages large constants)
     cmat_np = colpick_matrices(pack)
+    live_np = (np.arange(n) < (n_real or n)).astype(np.uint8).reshape(1, n)
 
     def step(state: ops.PixelState, frame_u8, time, bufp, buft, offset):
         time2d = jnp.asarray(time, _f32).reshape(1, 1)
         off1 = jnp.asarray(offset, _i32).reshape(1)
         outs = call(
-            time2d, off1, jnp.asarray(cmat_np),
+            time2d, off1, jnp.asarray(cmat_np), jnp.asarray(live_np),
             frame_u8.reshape(1, n),
             state.node_d, state.node_integ, state.node_dt,
             state.best_d, state.best_dt,
