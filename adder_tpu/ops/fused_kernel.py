@@ -10,8 +10,9 @@ eliminates that stage entirely — events never leave VMEM uncompacted:
      scalar oracle);
   2. the K event slots are left-packed to `pack` lanes per pixel (selects);
   3. packed lanes are interleaved to pixel-major staging order — a sublane
-     stretch (concat+reshape) plus per-row-class column picks as 0/1
-     matmuls on the MXU (f32, 16-bit halves, precision=HIGHEST: exact);
+     stretch (concat+reshape) plus row-class column picks as ONE stacked
+     0/1 matmul on the MXU (8-bit chunks: exact in bf16 at default
+     precision);
   4. an order-preserving log-shift compaction (pltpu.roll passes; distances
      are monotone because destinations are) squeezes valid events to the
      staging head, continuing from the running global offset's intra-row
@@ -49,9 +50,6 @@ _i32 = jnp.int32
 _f32 = jnp.float32
 _u32 = jnp.uint32
 
-_HIGHEST = jax.lax.Precision.HIGHEST
-
-
 def _bitcast_i32(x):
     return jax.lax.bitcast_convert_type(x, _i32)
 
@@ -61,18 +59,21 @@ def _bitcast_u32(x):
 
 
 def colpick_matrices(pack: int) -> np.ndarray:
-    """0/1 column-pick matrices C_m with C_m[k, l] = [k == (128/pack)*m + l//pack].
+    """0/1 column-pick matrix Cbig (128, pack*128) in bfloat16 with
+    Cbig[k, m*128 + l] = [k == (128/pack)*m + l//pack].
 
-    Row-class m of the stretched array picks its lanes through C_m:
-    (G @ C_m)[r, l] = G[r, (128/pack)*m + l//pack]. Passed to the kernel as
-    an input (Mosaic kernels cannot capture array constants), flattened to
-    (pack*128, 128)."""
+    Row-class m of a sublane-stretched array picks its lanes through
+    columns [m*128, (m+1)*128): (G @ Cbig)[r, m*128+l] = G[r,
+    (128/pack)*m + l//pack]. Values are fed as 8-bit chunks so the matmul
+    is exact in bf16 at DEFAULT MXU precision (products are 0/1 * v<256,
+    accumulation in f32). Passed to the kernel as an input (Mosaic kernels
+    cannot capture array constants)."""
     assert 128 % pack == 0, pack
     l = np.arange(128)
-    C = np.zeros((pack, 128, 128), np.float32)
+    C = np.zeros((128, pack * 128), np.float32)
     for m in range(pack):
-        C[m, (128 // pack) * m + l // pack, l] = 1.0
-    return C.reshape(pack * 128, 128)
+        C[(128 // pack) * m + l // pack, m * 128 + l] = 1.0
+    return C  # f32 on the wire; cast to bf16 inside the kernel
 
 
 def _sublane_stretch(x: jax.Array, factor: int) -> jax.Array:
@@ -84,36 +85,79 @@ def _sublane_stretch(x: jax.Array, factor: int) -> jax.Array:
     return g.reshape(x.shape[0] * factor, 128)
 
 
-def _interleave(x_1xB: jax.Array, C_ref, pack: int, lo_only: bool) -> jax.Array:
-    """Pixel-major interleave: (1, B) i32 -> (R, 128) i32 with
-    out[r, l] = x[(128*r + l) // pack] placed for lane class l % pack.
+def _interleave_all(pds, pts, mw, C_ref, pack):
+    """Pixel-major interleave of all packed lane arrays in ONE matmul.
 
-    The caller combines `pack` such arrays with lane-class selects. Values
-    are split into 16-bit halves so the 0/1 matmuls are exact in f32.
-    `lo_only` skips the high half for values known < 2^16."""
-    B = x_1xB.size
+    Each (SUB, LN) i32 array is split into 8-bit chunks, sublane-stretched
+    by `pack` (concat+reshape, layout-natural), stacked along sublanes and
+    multiplied once against the 0/1 column-pick matrix: small matmuls were
+    dispatch- and pass-bound (16-bit halves needed precision=HIGHEST,
+    tripling MXU passes; 8-bit chunks are exact in bf16 at default
+    precision). Returns (fp, ft, fvalid) in (R, 128) staging order with
+    out[r, l] = arr[l % pack][(128*r + l) // pack]."""
+    B = pds[0].size
     xrows = B // 128
     R = B * pack // 128
-    x = x_1xB.reshape(xrows, 128)
-    lo = (x & 0xFFFF).astype(_f32)
-    glo = _sublane_stretch(lo, pack)
-    if not lo_only:
-        # t < 2^31 (the compressed codec's own assumption), so 15 hi bits
-        hi = ((x >> 16) & 0x7FFF).astype(_f32)
-        ghi = _sublane_stretch(hi, pack)
-    rowm = jax.lax.broadcasted_iota(_i32, (R, 128), 0) % pack
-    out = jnp.zeros((R, 128), _i32)
-    for m in range(pack):
-        Cm = C_ref[m * 128 : (m + 1) * 128, :]
-        v = jnp.dot(glo, Cm, preferred_element_type=_f32,
-                    precision=_HIGHEST).astype(_i32)
-        if not lo_only:
-            v = v | (
-                jnp.dot(ghi, Cm, preferred_element_type=_f32,
-                        precision=_HIGHEST).astype(_i32) << 16
+    bf16 = jnp.bfloat16
+
+    def chunks(x, n):
+        x = x.reshape(xrows, 128)
+        return [
+            _sublane_stretch(
+                ((x >> (8 * c)) & 0xFF).astype(_f32), pack
             )
-        out = jnp.where(rowm == m, v, out)
-    return out
+            for c in range(n)
+        ]
+
+    specs = []  # (kind, lane, chunk_shift)
+    stacks = []
+    for j in range(pack):
+        for c, g in enumerate(chunks(pds[j], 4)):
+            specs.append(("p", j, 8 * c))
+            stacks.append(g)
+        for c, g in enumerate(chunks(pts[j], 4)):
+            specs.append(("t", j, 8 * c))
+            stacks.append(g)
+    for c, g in enumerate(chunks(mw, 2)):
+        specs.append(("m", 0, 8 * c))
+        stacks.append(g)
+
+    big = jnp.concatenate(stacks, axis=0).astype(bf16)
+    res = jnp.dot(big, C_ref[:].astype(bf16), preferred_element_type=_f32)
+
+    rowm = jax.lax.broadcasted_iota(_i32, (R, 128), 0) % pack
+    lane = jax.lax.broadcasted_iota(_i32, (R, 128), 1)
+    lmod = lane % pack
+
+    def class_select(block):
+        out = jnp.zeros((R, 128), _i32)
+        for m in range(pack):
+            out = jnp.where(
+                rowm == m,
+                block[:, m * 128 : (m + 1) * 128].astype(_i32),
+                out,
+            )
+        return out
+
+    pvals = [jnp.zeros((R, 128), _i32) for _ in range(pack)]
+    tvals = [jnp.zeros((R, 128), _i32) for _ in range(pack)]
+    mval = jnp.zeros((R, 128), _i32)
+    for (kind, j, shift), i in zip(specs, range(len(specs))):
+        sel = class_select(res[i * R : (i + 1) * R, :]) << shift
+        if kind == "p":
+            pvals[j] = pvals[j] | sel
+        elif kind == "t":
+            tvals[j] = tvals[j] | sel
+        else:
+            mval = mval | sel
+
+    fp = jnp.zeros((R, 128), _i32)
+    ft = jnp.zeros((R, 128), _i32)
+    for j in range(pack):
+        fp = jnp.where(lmod == j, pvals[j], fp)
+        ft = jnp.where(lmod == j, tvals[j], ft)
+    fvalid = ((mval >> lmod) & 1).astype(_i32)
+    return fp, ft, fvalid
 
 
 def _flat_shift_left(x: jax.Array, s: int) -> jax.Array:
@@ -318,26 +362,19 @@ def _kernel_body(p: ops.TranscodeParams, block: int, pack: int,
         o_pmax[0] = jnp.maximum(o_pmax[0], jnp.max(cnt))
 
         # ---- interleave to pixel-major staging order ----
-        lane = jax.lax.broadcasted_iota(_i32, (R, 128), 1)
-        lmod = lane % pack
         if debug_stage >= 2:
             fp = jnp.broadcast_to(pd[0][:1, :128], (R, 128)).astype(_i32)
             ft = fp
             fvalid = (fp & 1)
         else:
-            fp = jnp.zeros((R, 128), _i32)
-            ft = jnp.zeros((R, 128), _i32)
-            for j in range(pack):
-                fp = jnp.where(lmod == j, _interleave(pd[j], C_ref, pack, False), fp)
-                ft = jnp.where(lmod == j, _interleave(pt[j], C_ref, pack, False), ft)
-            MW = _interleave(mw, C_ref, pack, True)
-            fvalid = ((MW >> lmod) & 1).astype(_i32)
+            fp, ft, fvalid = _interleave_all(pd, pt, mw, C_ref, pack)
 
         # ---- destinations ----
         rank = _rank_exclusive(fvalid)
         n_new = jnp.sum(fvalid)
         f_flat = (
-            jax.lax.broadcasted_iota(_i32, (R, 128), 0) * 128 + lane
+            jax.lax.broadcasted_iota(_i32, (R, 128), 0) * 128
+            + jax.lax.broadcasted_iota(_i32, (R, 128), 1)
         )
         # staging position of source element = 128 + f (head row first);
         # destination = q + rank; distance is non-negative and monotone
@@ -461,7 +498,7 @@ def make_fused_interval(
         pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM),  # time
         pl.BlockSpec(memory_space=pltpu.SMEM),  # offset_in
         pl.BlockSpec(
-            (pack * 128, 128), lambda i: (0, 0), memory_space=pltpu.VMEM
+            (128, pack * 128), lambda i: (0, 0), memory_space=pltpu.VMEM
         ),  # colpick
         flat_spec(),  # live mask
         flat_spec(),  # frame
