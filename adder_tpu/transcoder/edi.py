@@ -156,6 +156,45 @@ def optimize_c(
     return (a + b) / 2
 
 
+class ThreadedProvider:
+    """Run any DavisPacket provider on a dedicated worker thread with a
+    bounded prefetch queue — the reference's EDI threading model
+    (ref: davis.rs:626-632 spawns davis-edi-rs on its own thread; P4 in
+    SURVEY's parallelism inventory). Deblurring the next packet overlaps
+    the transcoder's integration of the current one."""
+
+    def __init__(self, provider, depth: int = 4):
+        import queue
+        import threading
+
+        self.provider = provider
+        self.plane = provider.plane
+        self._q: "queue.Queue" = queue.Queue(maxsize=depth)
+        self._done = object()
+        self._err = None
+
+        def run():
+            try:
+                for pkt in provider:
+                    self._q.put(pkt)
+            except Exception as e:  # surfaced on the consumer side
+                self._err = e
+            finally:
+                self._q.put(self._done)
+
+        self._thread = threading.Thread(target=run, daemon=True)
+        self._thread.start()
+
+    def __iter__(self):
+        while True:
+            pkt = self._q.get()
+            if pkt is self._done:
+                if self._err is not None:
+                    raise self._err
+                return
+            yield pkt
+
+
 class EdiReconstructor:
     """aedat4 -> deblurred DavisPackets (the davis-edi-rs role).
 

@@ -43,6 +43,7 @@ from ..core.types import (
     TimeMode,
 )
 from ..ops import integrate as ops
+from ..utils import tracing
 
 
 class SourceError(Exception):
@@ -415,7 +416,8 @@ class Video:
             next_cap = min(mult * 2, ops.K_SLOTS) * self.n_state * T
             self._prewarm_chunk_fn(next_cap, self._pack, T)
         state_before = self.state
-        outs = fn(self.state, frames_u8, t, run0)
+        with tracing.stage("video.submit_chunk", items=T * self.n):
+            outs = fn(self.state, frames_u8, t, run0)
         self.state = outs[0]  # optimistic; collect_chunk reverts on overflow
         pending = {
             "outs": outs,
@@ -455,11 +457,12 @@ class Video:
             ) = outs
             # one host round-trip for all control scalars (the link has
             # high per-transfer latency; batching matters more than size)
-            total_i, per_int_max, pack_max_i, t16_ok_b, t_base_i = (
-                jax.device_get(
-                    (total, jnp.max(per_int), pack_max, t16_ok, t_base)
+            with tracing.stage("video.collect.control_fetch"):
+                total_i, per_int_max, pack_max_i, t16_ok_b, t_base_i = (
+                    jax.device_get(
+                        (total, jnp.max(per_int), pack_max, t16_ok, t_base)
+                    )
                 )
-            )
             total_i = int(total_i)
             if self._fused:
                 # fused kernel: no per-interval prefix limit — any interval
@@ -504,17 +507,19 @@ class Video:
 
         if self.void_events and not self.feature_detection:
             return EventArray.empty()
-        if bool(t16_ok_b):
-            # 6-byte wire path: u16 timestamps relative to the chunk base
-            pixd_h, t16_h = jax.device_get((pixd[:total_i], t16[:total_i]))
-            t_host = t16_h.astype(np.uint32) + np.uint32(int(t_base_i))
-        else:
-            pixd_h, t_host = jax.device_get((pixd[:total_i], tt[:total_i]))
+        with tracing.stage("video.collect.event_fetch", items=total_i):
+            if bool(t16_ok_b):
+                # 6-byte wire path: u16 timestamps relative to the chunk base
+                pixd_h, t16_h = jax.device_get((pixd[:total_i], t16[:total_i]))
+                t_host = t16_h.astype(np.uint32) + np.uint32(int(t_base_i))
+            else:
+                pixd_h, t_host = jax.device_get((pixd[:total_i], tt[:total_i]))
         pixd = np.asarray(pixd_h)
         pix = (pixd >> 8).astype(np.int64)
         d = (pixd & 0xFF).astype(np.uint8)
         events = self._events_from_flat(pix, d, t_host)
-        self.encoder.ingest_event_array(events)
+        with tracing.stage("video.encode", items=len(events)):
+            self.encoder.ingest_event_array(events)
         if self.feature_detection:
             self._handle_features(
                 events, np.asarray(per_int), np.asarray(runnings)

@@ -18,6 +18,10 @@ def main():
         help="TOML preset overriding defaults (ref: bin/args/*.toml)",
     )
     p.add_argument("-i", "--input-filename", required=False, default="")
+    p.add_argument(
+        "--trace", action="store_true",
+        help="print a per-stage timing summary (utils/tracing.py)",
+    )
     p.add_argument("--output-events-filename", default="")
     p.add_argument("--output-raw-video-filename", default="")
     p.add_argument("--color-input", action="store_true")
@@ -63,6 +67,10 @@ def main():
         time_mode=TimeMode.AbsoluteT if a.time_mode == "absolute" else TimeMode.DeltaT,
         integration_mode=a.integration_mode,
     )
+    if a.trace:
+        from adder_tpu.utils import tracing
+
+        tracing.set_enabled(True)
     ev_writer = open(args.output_events_filename, "wb")
     raw_writer = (
         open(args.output_raw_video_filename, "wb")
@@ -75,6 +83,10 @@ def main():
     if raw_writer:
         raw_writer.close()
     print(f"wrote {n} reconstructed frames")
+    if a.trace:
+        from adder_tpu.utils import tracing
+
+        print(tracing.summary_table())
 
 
 if __name__ == "__main__":

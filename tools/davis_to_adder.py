@@ -35,6 +35,8 @@ def main() -> int:
     )
     ap.add_argument("--batched", action="store_true",
                     help="use the batched device integration path")
+    ap.add_argument("--no-prefetch", action="store_true",
+                    help="run EDI inline instead of on a worker thread")
     args = ap.parse_args()
 
     from adder_tpu.codec.encoder import EncoderOptions, EncoderType
@@ -58,6 +60,11 @@ def main() -> int:
     except (OSError, ValueError) as e:
         print(f"error: cannot open {args.input}: {e}", file=sys.stderr)
         return 1
+    if not args.no_prefetch:
+        # EDI on a dedicated thread, like the reference (davis.rs:626-632)
+        from adder_tpu.transcoder.edi import ThreadedProvider
+
+        recon = ThreadedProvider(recon)
 
     # DAVIS346 timebase: 1e6 us/s * ref_time ticks per us (davis.rs tps)
     tps = args.ref_time * 1_000_000
