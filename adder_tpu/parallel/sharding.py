@@ -83,3 +83,82 @@ def make_transcode_chunk_sharded(
             rep,  # pack_max
         ),
     )
+
+
+def make_fused_chunk_sharded(
+    p: ops.TranscodeParams,
+    event_cap_per_dev: int,
+    mesh: Mesh,
+    pallas_block: int = 4096,
+    pack: int = 4,
+    axis_name: str = "px",
+    interpret: bool = False,
+):
+    """Multi-chip fused transcode: each device runs the fused Pallas
+    interval+compaction kernel (ops/fused_kernel.py) on its contiguous
+    row-block of the pixel plane via shard_map — pixels never communicate,
+    so there are NO collectives in the hot loop; each device compacts its
+    own event buffer locally and the global single-thread event order is
+    simply the device-major concatenation (row-block sharding preserves
+    raster order).
+
+    Signature: (state, frames (T, N_global) u8, time, run0) ->
+    (state, bufs_pixd (D*cap,), bufs_t (D*cap,), totals (D,),
+    per_interval (D, T), pack_max (D,), runnings (T, N_global)).
+    Host assembly per device d: events = buf[d*cap : d*cap + totals[d]],
+    pixel ids offset by d * (N_global / D). `interpret=True` runs the
+    kernel under the Pallas interpreter (CPU meshes / the driver's
+    multi-chip dry run)."""
+    from jax.experimental.shard_map import shard_map
+
+    st_spec = ops.PixelState(
+        node_d=P(None, axis_name), node_integ=P(None, axis_name),
+        node_dt=P(None, axis_name), best_d=P(None, axis_name),
+        best_dt=P(None, axis_name),
+        length=P(axis_name), base_val=P(axis_name), c_thresh=P(axis_name),
+        c_increase_counter=P(axis_name), last_fired_t=P(axis_name),
+        running_t=P(axis_name), need_pop=P(axis_name),
+        dtm_reached=P(axis_name), popped_dtm=P(axis_name), overflow=P(),
+    )
+
+    local = ops.make_fused_chunk(
+        p, event_cap_per_dev, pack, pallas_block, n_real=0,
+        interpret=interpret,
+    )
+
+    def body(state, frames, time, run0):
+        (
+            st, buf_pixd, buf_t, _t16, _tb, _ok, total, per_int, runnings,
+            pmax,
+        ) = local(state, frames, time, run0)
+        return (
+            st, buf_pixd, buf_t,
+            total.reshape(1), per_int.reshape(1, -1), pmax.reshape(1),
+            runnings,
+        )
+
+    fn = shard_map(
+        body,
+        mesh=mesh,
+        in_specs=(st_spec, P(None, axis_name), P(), P(axis_name)),
+        out_specs=(
+            st_spec, P(axis_name), P(axis_name),
+            P(axis_name), P(axis_name, None), P(axis_name),
+            P(None, axis_name),
+        ),
+        check_rep=False,
+    )
+    return jax.jit(fn)
+
+
+def assemble_sharded_events(bufs_pixd, bufs_t, totals, n_devices: int):
+    """Host-side merge of per-device fused buffers into the global stream
+    (device-major == raster order under row-block sharding)."""
+    cap = bufs_pixd.shape[0] // n_devices
+    pixd_parts = []
+    t_parts = []
+    for d in range(n_devices):
+        k = int(totals[d])
+        pixd_parts.append(np.asarray(bufs_pixd[d * cap : d * cap + k]))
+        t_parts.append(np.asarray(bufs_t[d * cap : d * cap + k]))
+    return pixd_parts, t_parts

@@ -70,3 +70,59 @@ def test_sharded_chunk_matches_single(ndev):
         assert np.array_equal(
             np.asarray(getattr(outs[0], f)), np.asarray(getattr(outs_ref[0], f))
         ), f
+
+
+def test_sharded_fused_chunk_matches_single():
+    """The fused Pallas kernel under shard_map (interpret mode on the CPU
+    mesh): per-device compacted buffers concatenate to the single-device
+    stream (row-block sharding preserves raster order)."""
+    ndev = 2
+    devs = cpu_devices(ndev)
+    if devs is None:
+        pytest.skip("need 2 cpu devices")
+    mesh = sh.make_mesh(devs)
+    BLOCK = 128
+    n_local = BLOCK * 2
+    n = n_local * ndev
+    T = 2
+    p = ops.TranscodeParams()
+    cap = 4 * n_local * T
+
+    rng = np.random.default_rng(5)
+    frames = rng.integers(0, 256, (T, n)).astype(np.uint8)
+    state = ops.set_initial_d(
+        ops.init_state(n), jnp.asarray(frames[0].astype(np.int32))
+    )
+    run0 = jnp.zeros((n,), jnp.uint8)
+
+    # single-device reference: the fused kernel on the whole plane
+    ref_fn = ops.make_fused_chunk(
+        p, cap * ndev, 4, pallas_block=BLOCK, interpret=True
+    )
+    ref = ref_fn(state, jnp.asarray(frames), jnp.float32(255.0), run0)
+    ref_total = int(ref[6])
+    ref_pixd = np.asarray(ref[1][:ref_total])
+    ref_t = np.asarray(ref[2][:ref_total])
+
+    fn = sh.make_fused_chunk_sharded(
+        p, cap, mesh, pallas_block=BLOCK, interpret=True
+    )
+    st_sh = sh.shard_state(state, mesh)
+    outs = fn(st_sh, jnp.asarray(frames), jnp.float32(255.0), run0)
+    (st2, bufs_pixd, bufs_t, totals, per_int, pmax, runnings) = outs
+    totals = np.asarray(totals)
+    pixd_parts, t_parts = sh.assemble_sharded_events(
+        bufs_pixd, bufs_t, totals, ndev
+    )
+    # apply per-device pixel offsets and concatenate
+    glob_pixd = np.concatenate(
+        [part + np.uint32((d * n_local) << 8)
+         for d, part in enumerate(pixd_parts)]
+    )
+    glob_t = np.concatenate(t_parts)
+    assert len(glob_pixd) == ref_total
+    np.testing.assert_array_equal(glob_pixd, ref_pixd)
+    np.testing.assert_array_equal(glob_t, ref_t)
+    # state fields match the single-device run
+    for f_s, f_r in zip(st2[:-1], ref[0][:-1]):
+        np.testing.assert_array_equal(np.asarray(f_s), np.asarray(f_r))
