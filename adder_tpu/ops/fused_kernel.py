@@ -198,7 +198,7 @@ def _rank_exclusive(valid: jax.Array) -> jax.Array:
 
 def _kernel_body(p: ops.TranscodeParams, block: int, pack: int,
                  rows_cap: int, n_real: int, interpret: bool = False,
-                 debug_stage: int = 0):
+                 debug_stage: int = 0, depth: int = DEPTH):
     # debug_stage (profiling only; events are garbage for stage > 0):
     # 0 full | 1 skip log-shift passes | 2 also skip interleave | 3 also
     # skip packing (interval core + DMA skeleton only)
@@ -271,11 +271,11 @@ def _kernel_body(p: ops.TranscodeParams, block: int, pack: int,
         numerics.IN_PALLAS = "interpret" if interpret else "mosaic"
         try:
             s = ops._S()
-            s.nd = [r8(nd_ref[k : k + 1, :]) for k in range(DEPTH)]
-            s.ni = [r8(ni_ref[k : k + 1, :]) for k in range(DEPTH)]
-            s.ndt = [r8(ndt_ref[k : k + 1, :]) for k in range(DEPTH)]
-            s.bd = [r8(bd_ref[k : k + 1, :]) for k in range(DEPTH)]
-            s.bdt = [r8(bdt_ref[k : k + 1, :]) for k in range(DEPTH)]
+            s.nd = [r8(nd_ref[k : k + 1, :]) for k in range(depth)]
+            s.ni = [r8(ni_ref[k : k + 1, :]) for k in range(depth)]
+            s.ndt = [r8(ndt_ref[k : k + 1, :]) for k in range(depth)]
+            s.bd = [r8(bd_ref[k : k + 1, :]) for k in range(depth)]
+            s.bdt = [r8(bdt_ref[k : k + 1, :]) for k in range(depth)]
             s.length = r8(length_ref[:])
             s.base_val = r8(base_ref[:])
             s.c_thresh = r8(cth_ref[:])
@@ -293,7 +293,7 @@ def _kernel_body(p: ops.TranscodeParams, block: int, pack: int,
                 s, intensity, fv, time_ref[0, 0], p
             )
 
-            for k in range(DEPTH):
+            for k in range(depth):
                 o_nd[k : k + 1, :] = r1(s.nd[k])
                 o_ni[k : k + 1, :] = r1(s.ni[k])
                 o_ndt[k : k + 1, :] = r1(s.ndt[k])
@@ -310,6 +310,7 @@ def _kernel_body(p: ops.TranscodeParams, block: int, pack: int,
             o_popped[:] = r1(s.popped_dtm.astype(jnp.uint8))
             o_run_val[:] = r1(run_val)
             o_run_has[:] = r1(run_has.astype(jnp.uint8))
+            depth_ovf = s.overflow  # fires that found no free child node
         finally:
             numerics.IN_PALLAS = False
 
@@ -359,7 +360,12 @@ def _kernel_body(p: ops.TranscodeParams, block: int, pack: int,
             for k, (_, _, m_k) in enumerate(pixd):
                 mw = mw | (m_k.astype(_i32) << k)
                 cnt = cnt + m_k.astype(_i32)
-        o_pmax[0] = jnp.maximum(o_pmax[0], jnp.max(cnt))
+        # low 16 bits: per-pixel slot max (pack fallback); bit 16: the
+        # arena depth overflowed (shallow graphs rerun with a deeper one)
+        o_pmax[0] = jnp.maximum(
+            o_pmax[0],
+            jnp.max(cnt) | jnp.where(depth_ovf > 0, 1 << 16, 0),
+        )
 
         # ---- interleave to pixel-major staging order ----
         if debug_stage >= 2:
@@ -470,6 +476,7 @@ def make_fused_interval(
     n_real: int = 0,
     interpret: bool = False,
     debug_stage: int = 0,
+    depth: int = DEPTH,
 ):
     """Build the fused interval+compaction step for an N-pixel plane.
 
@@ -489,7 +496,7 @@ def make_fused_interval(
     SROWS_PHYS = ((R + 1 + 7) // 8) * 8  # must match _kernel_body padding
 
     def depth_spec():
-        return pl.BlockSpec((DEPTH, B), lambda i: (0, i), memory_space=pltpu.VMEM)
+        return pl.BlockSpec((depth, B), lambda i: (0, i), memory_space=pltpu.VMEM)
 
     def flat_spec():
         return pl.BlockSpec((1, B), lambda i: (0, i), memory_space=pltpu.VMEM)
@@ -520,11 +527,11 @@ def make_fused_interval(
         pl.BlockSpec(memory_space=pltpu.SMEM),  # pack_max
     )
     out_shape = (
-        jax.ShapeDtypeStruct((DEPTH, n), _i32),
-        jax.ShapeDtypeStruct((DEPTH, n), _f32),
-        jax.ShapeDtypeStruct((DEPTH, n), _f32),
-        jax.ShapeDtypeStruct((DEPTH, n), _i32),
-        jax.ShapeDtypeStruct((DEPTH, n), _f32),
+        jax.ShapeDtypeStruct((depth, n), _i32),
+        jax.ShapeDtypeStruct((depth, n), _f32),
+        jax.ShapeDtypeStruct((depth, n), _f32),
+        jax.ShapeDtypeStruct((depth, n), _i32),
+        jax.ShapeDtypeStruct((depth, n), _f32),
         jax.ShapeDtypeStruct((1, n), _i32),
         jax.ShapeDtypeStruct((1, n), _i32),
         jax.ShapeDtypeStruct((1, n), _i32),
@@ -551,7 +558,8 @@ def make_fused_interval(
     ]
 
     call = pl.pallas_call(
-        _kernel_body(p, block, pack, rows_cap, n_real, interpret, debug_stage),
+        _kernel_body(p, block, pack, rows_cap, n_real, interpret,
+                     debug_stage, depth),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=0,
             grid=grid,

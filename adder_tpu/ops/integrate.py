@@ -177,6 +177,33 @@ def init_state(
     )
 
 
+def pad_state_depth(state: PixelState, new_depth: int) -> PixelState:
+    """Grow the arena depth of an existing state (zero nodes, best_d = -1).
+
+    Used by the depth-overflow fallback: shallow arenas (the reference's
+    SmallVec inline capacity is 6) are ~8% faster per interval; a chunk
+    whose content outgrows them is re-run from the padded pre-chunk state
+    on the deeper graph."""
+    old = state.node_d.shape[0]
+    if new_depth <= old:
+        return state
+    n = state.node_d.shape[1]
+    pad = new_depth - old
+
+    def z(dt):
+        return jnp.zeros((pad, n), dt)
+
+    return state._replace(
+        node_d=jnp.concatenate([state.node_d, z(_i32)]),
+        node_integ=jnp.concatenate([state.node_integ, z(_f32)]),
+        node_dt=jnp.concatenate([state.node_dt, z(_f32)]),
+        best_d=jnp.concatenate(
+            [state.best_d, jnp.full((pad, n), -1, _i32)]
+        ),
+        best_dt=jnp.concatenate([state.best_dt, z(_f32)]),
+    )
+
+
 def set_initial_d(state: PixelState, frame_val: jax.Array) -> PixelState:
     """Seed D and base_val from the first frame (ref: video.rs:780-801)."""
     d0 = _d_from_intensity(frame_val.astype(_f32))
@@ -715,6 +742,7 @@ def make_fused_chunk(
     pallas_block: int = 4096,
     n_real: int = 0,
     interpret: bool = False,
+    depth: int = DEPTH,
 ):
     """Chunk scan over the fused interval+compaction kernel
     (ops/fused_kernel.py): events are compacted *inside* the Pallas kernel
@@ -734,7 +762,8 @@ def make_fused_chunk(
     def chunk_fn(state, frames, time, run0):
         n = frames.shape[1]
         fstep = fused_kernel.make_fused_interval(
-            p, n, rows_cap, pallas_block, pack, n_real, interpret
+            p, n, rows_cap, pallas_block, pack, n_real, interpret,
+            depth=depth,
         )
 
         def step(carry, frame_u8):

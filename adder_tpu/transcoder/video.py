@@ -93,6 +93,10 @@ class Video:
         if os.environ.get("ADDER_TPU_FORCE_PALLAS") == "0":
             use_pallas = False
         self._pallas_block = 4096 if use_pallas else 0
+        # shallow arenas on the fused path (the reference's SmallVec inline
+        # capacity is 6; ~8% faster per interval); depth overflow is
+        # detected per chunk and falls back to the deep graph permanently
+        self._depth = 6 if use_pallas else ops.DEPTH
         # Fused in-kernel compaction (ops/fused_kernel.py) is the default
         # Pallas path: events are compacted inside the interval kernel and
         # DMA'd to the chunk buffer — no top_k/gather stage.
@@ -106,7 +110,7 @@ class Video:
         else:
             self.n_state = self.n
 
-        self.state = ops.init_state(self.n_state)
+        self.state = ops.init_state(self.n_state, depth=self._depth)
         self._c_thresh_baseline_applied = False
 
         meta = self._make_meta()
@@ -298,7 +302,8 @@ class Video:
         n_real = self.n if self.n_state != self.n else 0
         if self._fused:
             return ops.make_fused_chunk(
-                self._params(), cap, pack, self._pallas_block, n_real
+                self._params(), cap, pack, self._pallas_block, n_real,
+                depth=self._depth,
             )
         return ops.make_transcode_chunk(
             self._params(), cap, pack, self._pallas_block, n_real
@@ -474,13 +479,22 @@ class Video:
                 overflowed = total_i > cap or int(per_int_max) > min(
                     take, ops.K_SLOTS * self.n_state
                 )
+            depth_overflow = self._fused and bool(int(pack_max_i) >> 16)
+            pack_max_i = int(pack_max_i) & 0xFFFF
             pack_overflow = pack < ops.K_SLOTS and int(pack_max_i) > pack
             if not overflowed and not pack_overflow:
                 # decay the capacity once bursts pass (a scene-change chunk
                 # shouldn't permanently inflate the compaction prefix)
                 if int(per_int_max) * 8 < take and self._cap_mult > 1:
                     self._cap_mult //= 2
-            if pack_overflow:
+            if depth_overflow and self._depth < ops.DEPTH:
+                # arena outgrew the shallow graph: rerun this chunk (and
+                # continue) on the deep one
+                self._depth = ops.DEPTH
+                pending["state_before"] = ops.pad_state_depth(
+                    pending["state_before"], self._depth
+                )
+            elif pack_overflow:
                 # a pixel emitted more events than the packed lanes hold:
                 # this plane/content needs the lossless-slot graph
                 # permanently (fused: 16 >= K_SLOTS, 128 % pack == 0)

@@ -79,10 +79,14 @@ def main():
         c_increase_velocity=1,
     )
     cap = n * T
-    fn = ops.make_fused_chunk(p, cap, 4, pallas_block=BLOCK, n_real=H * W)
+    # depth-6 arenas: the production default (Video), reference SmallVec
+    # inline capacity; depth overflow falls back to deep graphs in Video
+    fn = ops.make_fused_chunk(
+        p, cap, 4, pallas_block=BLOCK, n_real=H * W, depth=6
+    )
 
     state = ops.set_initial_d(
-        ops.init_state(n), jnp.asarray(frames[0].astype(np.int32))
+        ops.init_state(n, depth=6), jnp.asarray(frames[0].astype(np.int32))
     )
     run0 = jnp.zeros((n,), jnp.uint8)
     chunks = [

@@ -226,3 +226,53 @@ def test_interval_kernel_interpret_matches_xla():
         np.testing.assert_array_equal(np.asarray(rh_p), np.asarray(rh_x))
         for f_p, f_x in zip(st_p[:-1], st_x[:-1]):
             _assert_fma_tie_only(f_p, f_x)
+
+
+def test_fused_shallow_depth_parity_and_overflow():
+    """depth=6 arenas (the reference's SmallVec inline capacity) produce
+    identical events; a too-shallow graph raises the overflow bit and the
+    padded-state rerun on the deep graph recovers the exact stream."""
+    p = ops.TranscodeParams(
+        mode=1, multi_mode=1, ref_time=255, delta_t_max=255 * 24,
+    )  # continuous/normal reaches arena length 5 on random content
+    rng = np.random.default_rng(21)
+    frames = rng.integers(0, 256, (T, N)).astype(np.uint8)
+    cap = ops.K_SLOTS * N * T * 4
+
+    ref = _run_xla(p, frames, cap, ops.K_SLOTS)
+    tot = int(ref[6])
+
+    # depth 6: no overflow, byte-identical events
+    fn6 = ops.make_fused_chunk(
+        p, cap, 4, pallas_block=BLOCK, interpret=True, depth=6
+    )
+    st6 = ops.set_initial_d(
+        ops.init_state(N, depth=6), jnp.asarray(frames[0].astype(np.int32))
+    )
+    run0 = jnp.zeros((N,), jnp.uint8)
+    out6 = fn6(st6, jnp.asarray(frames), jnp.float32(255.0), run0)
+    assert int(out6[9]) >> 16 == 0, "depth-6 should suffice here"
+    assert int(out6[6]) == tot
+    np.testing.assert_array_equal(np.asarray(out6[1][:tot]), np.asarray(ref[1][:tot]))
+    np.testing.assert_array_equal(np.asarray(out6[2][:tot]), np.asarray(ref[2][:tot]))
+
+    # depth 2: the same content overflows (continuous remainder spill
+    # fires at the last level) -> bit 16 set
+    fn3 = ops.make_fused_chunk(
+        p, cap, 4, pallas_block=BLOCK, interpret=True, depth=2
+    )
+    st3 = ops.set_initial_d(
+        ops.init_state(N, depth=2), jnp.asarray(frames[0].astype(np.int32))
+    )
+    out3 = fn3(st3, jnp.asarray(frames), jnp.float32(255.0), run0)
+    assert int(out3[9]) >> 16 == 1, "expected depth overflow at depth=2"
+
+    # fallback: pad the pre-chunk state and rerun deep -> exact stream
+    st_deep = ops.pad_state_depth(st3, 8)
+    fn8 = ops.make_fused_chunk(
+        p, cap, 4, pallas_block=BLOCK, interpret=True, depth=8
+    )
+    out8 = fn8(st_deep, jnp.asarray(frames), jnp.float32(255.0), run0)
+    assert int(out8[6]) == tot
+    np.testing.assert_array_equal(np.asarray(out8[1][:tot]), np.asarray(ref[1][:tot]))
+    np.testing.assert_array_equal(np.asarray(out8[2][:tot]), np.asarray(ref[2][:tot]))
