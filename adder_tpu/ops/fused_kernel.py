@@ -198,7 +198,8 @@ def _rank_exclusive(valid: jax.Array) -> jax.Array:
 
 def _kernel_body(p: ops.TranscodeParams, block: int, pack: int,
                  rows_cap: int, n_real: int, interpret: bool = False,
-                 debug_stage: int = 0, depth: int = DEPTH):
+                 debug_stage: int = 0, depth: int = DEPTH,
+                 emit_running: bool = True):
     # debug_stage (profiling only; events are garbage for stage > 0):
     # 0 full | 1 skip log-shift passes | 2 also skip interleave | 3 also
     # skip packing (interval core + DMA skeleton only)
@@ -290,7 +291,8 @@ def _kernel_body(p: ops.TranscodeParams, block: int, pack: int,
             fv = r8(frame_ref[:]).astype(_i32)
             intensity = fv.astype(_f32)
             slots, (run_val, run_has) = ops._interval_core(
-                s, intensity, fv, time_ref[0, 0], p
+                s, intensity, fv, time_ref[0, 0], p,
+                emit_running=emit_running,
             )
 
             for k in range(depth):
@@ -477,6 +479,7 @@ def make_fused_interval(
     interpret: bool = False,
     debug_stage: int = 0,
     depth: int = DEPTH,
+    emit_running: bool = True,
 ):
     """Build the fused interval+compaction step for an N-pixel plane.
 
@@ -559,7 +562,7 @@ def make_fused_interval(
 
     call = pl.pallas_call(
         _kernel_body(p, block, pack, rows_cap, n_real, interpret,
-                     debug_stage, depth),
+                     debug_stage, depth, emit_running),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=0,
             grid=grid,

@@ -580,10 +580,13 @@ def integrate_interval(
     return s.restack(), slot_d, slot_t, slot_m, running
 
 
-def _interval_core(s: _S, intensity, frame_val, time, p: TranscodeParams):
+def _interval_core(s: _S, intensity, frame_val, time, p: TranscodeParams,
+                   emit_running: bool = True):
     """The interval logic on an unstacked state; shared by the XLA path and
     the Pallas kernel (ops/pallas_kernel.py). Mutates `s`; returns
-    (K_SLOTS list of (d, t, mask), (running_val, running_has))."""
+    (K_SLOTS list of (d, t, mask), (running_val, running_has)).
+    emit_running=False skips the display-intensity conversion (an
+    exact-rounded division per pixel) for pipelines that never read it."""
     intensity = intensity.astype(_f32)
 
     # 1. pre-integration pop_top
@@ -612,7 +615,11 @@ def _interval_core(s: _S, intensity, frame_val, time, p: TranscodeParams):
     d8, t8, m8 = _pop_top_event(s, intensity, s.need_pop, p)
 
     slots = [(d0, t0, m0)] + list(pop_slots) + [(d7, t7, m7), (d8, t8, m8)]
-    running = _running_intensity(s, p)
+    if emit_running:
+        running = _running_intensity(s, p)
+    else:
+        z = jnp.zeros_like(s.base_val)
+        running = (z.astype(jnp.uint8), z != 0)
     return slots, running
 
 
@@ -743,6 +750,7 @@ def make_fused_chunk(
     n_real: int = 0,
     interpret: bool = False,
     depth: int = DEPTH,
+    emit_running: bool = True,
 ):
     """Chunk scan over the fused interval+compaction kernel
     (ops/fused_kernel.py): events are compacted *inside* the Pallas kernel
@@ -763,7 +771,7 @@ def make_fused_chunk(
         n = frames.shape[1]
         fstep = fused_kernel.make_fused_interval(
             p, n, rows_cap, pallas_block, pack, n_real, interpret,
-            depth=depth,
+            depth=depth, emit_running=emit_running,
         )
 
         def step(carry, frame_u8):

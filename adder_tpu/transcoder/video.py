@@ -304,6 +304,11 @@ class Video:
             return ops.make_fused_chunk(
                 self._params(), cap, pack, self._pallas_block, n_real,
                 depth=self._depth,
+                # the display-intensity conversion (an exact-rounded divide
+                # per pixel) is skipped when nothing reads it
+                emit_running=bool(
+                    self.feature_detection or self._keep_running_frame
+                ),
             )
         return ops.make_transcode_chunk(
             self._params(), cap, pack, self._pallas_block, n_real

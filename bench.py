@@ -82,7 +82,8 @@ def main():
     # depth-6 arenas: the production default (Video), reference SmallVec
     # inline capacity; depth overflow falls back to deep graphs in Video
     fn = ops.make_fused_chunk(
-        p, cap, 4, pallas_block=BLOCK, n_real=H * W, depth=6
+        p, cap, 4, pallas_block=BLOCK, n_real=H * W, depth=6,
+        emit_running=False,
     )
 
     state = ops.set_initial_d(

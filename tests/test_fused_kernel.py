@@ -276,3 +276,27 @@ def test_fused_shallow_depth_parity_and_overflow():
     assert int(out8[6]) == tot
     np.testing.assert_array_equal(np.asarray(out8[1][:tot]), np.asarray(ref[1][:tot]))
     np.testing.assert_array_equal(np.asarray(out8[2][:tot]), np.asarray(ref[2][:tot]))
+
+
+def test_fused_emit_running_off_same_events():
+    """emit_running=False skips only the display conversion; the event
+    stream and state are unchanged."""
+    p = ops.TranscodeParams(ref_time=255, delta_t_max=255 * 4)
+    rng = np.random.default_rng(23)
+    frames = _frames(rng)
+    cap = ops.K_SLOTS * N * T * 4
+    on = _run_fused(p, frames, cap, pack=4)
+    fn = ops.make_fused_chunk(
+        p, cap, 4, pallas_block=BLOCK, interpret=True, emit_running=False
+    )
+    state = ops.set_initial_d(
+        ops.init_state(N), jnp.asarray(frames[0].astype(np.int32))
+    )
+    off = fn(state, jnp.asarray(frames), jnp.float32(255.0),
+             jnp.zeros((N,), jnp.uint8))
+    tot = int(on[6])
+    assert int(off[6]) == tot
+    np.testing.assert_array_equal(np.asarray(off[1][:tot]), np.asarray(on[1][:tot]))
+    np.testing.assert_array_equal(np.asarray(off[2][:tot]), np.asarray(on[2][:tot]))
+    for f_a, f_b in zip(off[0][:-1], on[0][:-1]):
+        np.testing.assert_array_equal(np.asarray(f_a), np.asarray(f_b))
