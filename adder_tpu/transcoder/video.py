@@ -460,6 +460,7 @@ class Video:
         T = pending["T"]
         outs = pending["outs"]
         mult, cap, pack = pending["mult"], pending["cap"], pending["pack"]
+        depth_rerun = False
         while True:
             (
                 new_state, pixd, tt, t16, t_base, t16_ok, total, per_int,
@@ -494,8 +495,12 @@ class Video:
                     self._cap_mult //= 2
             if depth_overflow and self._depth < ops.DEPTH:
                 # arena outgrew the shallow graph: rerun this chunk (and
-                # continue) on the deep one
+                # continue) on the deep one. Unlike capacity/pack overflow
+                # (which only truncate the event buffer), depth overflow
+                # corrupts the carried state, so chunks submitted on top of
+                # it must be recomputed too (below).
                 self._depth = ops.DEPTH
+                depth_rerun = True
                 pending["state_before"] = ops.pad_state_depth(
                     pending["state_before"], self._depth
                 )
@@ -518,6 +523,17 @@ class Video:
                 pending["run0"],
             )
         self.state = new_state
+        if depth_rerun and self._inflight:
+            # downstream in-flight chunks consumed the corrupted shallow
+            # state; recompute the chain from the corrected state
+            st = new_state
+            for p2 in self._inflight:
+                p2["state_before"] = st
+                p2["pack"] = self._pack
+                fn2 = self._chunk_fn(p2["cap"], self._pack)
+                p2["outs"] = fn2(st, p2["frames_u8"], p2["t"], p2["run0"])
+                st = p2["outs"][0]
+            self.state = st
         self._last_runnings = runnings  # (T, N) u8, fetched lazily on demand
         if self.feature_detection or self._keep_running_frame:
             self.running_intensities = np.asarray(
