@@ -377,6 +377,7 @@ class CompressedInput:
         boundary offsets in order (ref: stream.rs:394-400 — `addec` streams
         are seekable only at ADU boundaries)."""
         pos0 = self.reader.tell()
+        file_end = self.reader.seek(0, io.SEEK_END)
         pos = min(self._boundaries)
         idx = self._boundaries[pos]
         self.reader.seek(pos)
@@ -385,9 +386,12 @@ class CompressedInput:
             if len(lenb) < 4:
                 break
             n = int.from_bytes(lenb, "big")
-            end = self.reader.seek(n, io.SEEK_CUR)
-            if end - pos - 4 < n:
+            # seeking past EOF does not clamp, so check against the real
+            # file end: a truncated final ADU must not register a boundary
+            # (seeking there would silently decode nothing)
+            if file_end - (pos + 4) < n:
                 break
+            end = self.reader.seek(pos + 4 + n)
             self._boundaries[pos] = idx
             pos, idx = end, idx + 1
             self._boundaries[pos] = idx

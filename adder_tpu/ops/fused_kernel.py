@@ -122,8 +122,18 @@ def _interleave_all(pds, pts, mw, C_ref, pack):
         specs.append(("m", 0, 8 * c))
         stacks.append(g)
 
-    big = jnp.concatenate(stacks, axis=0).astype(bf16)
-    res = jnp.dot(big, C_ref[:].astype(bf16), preferred_element_type=_f32)
+    Cb = C_ref[:].astype(bf16)
+    # Matmul in groups bounded by a VMEM budget for the f32 result: at
+    # pack=4 one stacked matmul fits comfortably, but the pack=16 fallback
+    # would materialize hundreds of MB in one shot.
+    result_bytes_per_stack = R * pack * 128 * 4
+    group = max(1, (4 << 20) // result_bytes_per_stack)
+    results = []
+    for g0 in range(0, len(stacks), group):
+        big = jnp.concatenate(stacks[g0 : g0 + group], axis=0).astype(bf16)
+        results.append(
+            jnp.dot(big, Cb, preferred_element_type=_f32)
+        )
 
     rowm = jax.lax.broadcasted_iota(_i32, (R, 128), 0) % pack
     lane = jax.lax.broadcasted_iota(_i32, (R, 128), 1)
@@ -139,11 +149,16 @@ def _interleave_all(pds, pts, mw, C_ref, pack):
             )
         return out
 
+    def result_slice(i):
+        res = results[i // group]
+        k = i % group
+        return res[k * R : (k + 1) * R, :]
+
     pvals = [jnp.zeros((R, 128), _i32) for _ in range(pack)]
     tvals = [jnp.zeros((R, 128), _i32) for _ in range(pack)]
     mval = jnp.zeros((R, 128), _i32)
     for (kind, j, shift), i in zip(specs, range(len(specs))):
-        sel = class_select(res[i * R : (i + 1) * R, :]) << shift
+        sel = class_select(result_slice(i)) << shift
         if kind == "p":
             pvals[j] = pvals[j] | sel
         elif kind == "t":
@@ -333,12 +348,13 @@ def _kernel_body(p: ops.TranscodeParams, block: int, pack: int,
             ((pix << 8) | (d & 0xFF), _bitcast_i32(t), m)
             for (d, t, m) in slots
         ]
+        n_slots = len(pixd)  # depth + 3
         cnt = jnp.zeros((SUB, LN), _i32)
         if debug_stage >= 3:
             pd = [x[0] for x in pixd[:1]] * pack
             pt = [x[1] for x in pixd[:1]] * pack
             mw = jnp.zeros((1, B), _i32)
-        elif pack < K:
+        elif pack < n_slots:
             pd = [jnp.zeros((SUB, LN), _i32) for _ in range(pack)]
             pt = [jnp.zeros((SUB, LN), _i32) for _ in range(pack)]
             for pd_k, t_k, m_k in pixd:
@@ -353,10 +369,10 @@ def _kernel_body(p: ops.TranscodeParams, block: int, pack: int,
             # unpacked: lanes are the K slots themselves (gaps allowed —
             # the compaction rank skips invalid lanes)
             pd = [x[0] for x in pixd] + [
-                jnp.zeros((SUB, LN), _i32) for _ in range(pack - K)
+                jnp.zeros((SUB, LN), _i32) for _ in range(pack - len(pixd))
             ]
             pt = [x[1] for x in pixd] + [
-                jnp.zeros((SUB, LN), _i32) for _ in range(pack - K)
+                jnp.zeros((SUB, LN), _i32) for _ in range(pack - len(pixd))
             ]
             mw = jnp.zeros((SUB, LN), _i32)
             for k, (_, _, m_k) in enumerate(pixd):

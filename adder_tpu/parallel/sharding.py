@@ -159,6 +159,14 @@ def assemble_sharded_events(bufs_pixd, bufs_t, totals, n_devices: int):
     t_parts = []
     for d in range(n_devices):
         k = int(totals[d])
+        if k > cap:
+            # per-device capacity overflow: the caller must rerun the chunk
+            # with a larger event_cap_per_dev (same contract as the
+            # single-device path); slicing on would read into device d+1's
+            # buffer segment
+            raise OverflowError(
+                f"device {d} event buffer overflow ({k} > {cap})"
+            )
         pixd_parts.append(np.asarray(bufs_pixd[d * cap : d * cap + k]))
         t_parts.append(np.asarray(bufs_t[d * cap : d * cap + k]))
     return pixd_parts, t_parts

@@ -20,8 +20,8 @@ Frame Alive at High Frame-Rate with an Event Camera", CVPR 2019):
 
 Everything is dense numpy over the pixel plane (per-pixel event segments
 via sorted scatter-adds) — no per-event Python loops. `optimize_c` picks
-the contrast threshold by maximizing deblurred-image sharpness (variance of
-the Laplacian) over a golden-section bracket, a standard focus criterion;
+the contrast threshold by maximizing a gradient-sparsity sharpness
+criterion (|grad|_2^2 / |grad|_1^2) over a golden-section bracket;
 davis-edi-rs's own energy-minimization internals were not copied.
 
 The reconstructor yields `DavisPacket`s, so it plugs directly into the
@@ -232,7 +232,6 @@ class EdiReconstructor:
         pend_x: List[np.ndarray] = []
         pend_y: List[np.ndarray] = []
         pend_p: List[np.ndarray] = []
-        last_end_us: Optional[int] = None
 
         for pkt in self.reader.packets():
             if isinstance(pkt, self._EventsPacket):
@@ -274,7 +273,6 @@ class EdiReconstructor:
                 (t[in_exp] - exp_b).astype(np.float64), exposure, self.c,
             )
 
-            start_us = last_end_us if last_end_us is not None else exp_b
             events = [
                 DvsEvent(t=int(tt), x=int(xx), y=int(yy), on=pp > 0)
                 for tt, xx, yy, pp in zip(t, x, y, p)
@@ -285,7 +283,6 @@ class EdiReconstructor:
                 frame_end_us=int(exp_e),
                 events=events,
             )
-            last_end_us = exp_e
             self._frame_idx += 1
 
     def close(self):

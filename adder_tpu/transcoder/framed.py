@@ -16,22 +16,8 @@ from ..core.types import Mode, PlaneSize, SourceCamera, TimeMode
 from .video import SourceError, Video
 
 
-def handle_color(frame_bgr: np.ndarray, color: bool) -> np.ndarray:
-    """BGR frame -> gray or passthrough (ref: utils/cv.rs:215-232).
-
-    Reference-faithful quirk, established against the committed
-    `lake_scaled_out` golden: the reference applies coefficients
-    (0.114, 0.587, 0.299) to channels (0, 1, 2) of frames that video-rs
-    delivers in RGB order, so the 0.114 weight lands on RED, and the result
-    is truncated (`as u8`), not rounded. cv2 delivers BGR, so the weights
-    are applied mirrored here to reproduce the same bytes."""
-    if color:
-        return frame_bgr
-    b = frame_bgr[..., 0].astype(np.float64)
-    g = frame_bgr[..., 1].astype(np.float64)
-    r = frame_bgr[..., 2].astype(np.float64)
-    gray = 0.114 * r + 0.587 * g + 0.299 * b
-    return gray.astype(np.uint8)[..., None]
+# golden-pinned BGR->gray conversion lives in utils/cv.py (one copy)
+from ..utils.cv import handle_color  # noqa: F401  (re-export)
 
 
 class FramedArray:

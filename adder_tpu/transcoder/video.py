@@ -93,16 +93,16 @@ class Video:
         if os.environ.get("ADDER_TPU_FORCE_PALLAS") == "0":
             use_pallas = False
         self._pallas_block = 4096 if use_pallas else 0
-        # shallow arenas on the fused path (the reference's SmallVec inline
-        # capacity is 6; ~8% faster per interval); depth overflow is
-        # detected per chunk and falls back to the deep graph permanently
-        self._depth = 6 if use_pallas else ops.DEPTH
         # Fused in-kernel compaction (ops/fused_kernel.py) is the default
         # Pallas path: events are compacted inside the interval kernel and
         # DMA'd to the chunk buffer — no top_k/gather stage.
         self._fused = use_pallas
         if os.environ.get("ADDER_TPU_FUSED") == "0":
             self._fused = False
+        # shallow arenas on the FUSED path only (the non-fused Pallas
+        # kernel and XLA path run depth-8 state; only the fused kernel
+        # detects depth overflow and falls back to the deep graph)
+        self._depth = 6 if self._fused else ops.DEPTH
         if self._pallas_block:
             self.n_state = (
                 (self.n + self._pallas_block - 1) // self._pallas_block
@@ -320,7 +320,10 @@ class Video:
         stall the stream with a 20-50 s compile (round-1 diagnosed the color
         1080p "slowdown" as exactly this thrash). The persistent XLA cache
         makes each warm a one-time cost per machine."""
-        key = (cap, pack, T, self._params())
+        key = (
+            cap, pack, T, self._params(), self._depth,
+            bool(self.feature_detection or self._keep_running_frame),
+        )
         if key in self._warmed:
             return
         self._warmed.add(key)

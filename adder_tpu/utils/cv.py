@@ -124,15 +124,21 @@ def fast_mask_jax(img, threshold: int = INTENSITY_THRESHOLD):
 
 
 def handle_color(frame_bgr: np.ndarray, color: bool) -> np.ndarray:
-    """BGR -> gray (ITU-R 601 luma, truncating) or passthrough
-    (ref: cv.rs:215-232)."""
+    """BGR frame -> gray or passthrough (ref: utils/cv.rs:215-232).
+
+    Reference-faithful quirk, established against the committed
+    `lake_scaled_out` golden: the reference applies coefficients
+    (0.114, 0.587, 0.299) to channels (0, 1, 2) of frames that video-rs
+    delivers in RGB order, so the 0.114 weight lands on RED, and the
+    result is truncated (`as u8`), not rounded. cv2 delivers BGR, so the
+    weights are applied mirrored here to reproduce the same bytes.
+    (Single source of truth — transcoder/framed.py re-exports this.)"""
     if color:
         return frame_bgr
-    gray = (
-        frame_bgr[..., 0].astype(np.float64) * 0.114
-        + frame_bgr[..., 1].astype(np.float64) * 0.587
-        + frame_bgr[..., 2].astype(np.float64) * 0.299
-    )
+    b = frame_bgr[..., 0].astype(np.float64)
+    g = frame_bgr[..., 1].astype(np.float64)
+    r = frame_bgr[..., 2].astype(np.float64)
+    gray = 0.114 * r + 0.587 * g + 0.299 * b
     return gray.astype(np.uint8)[..., None]
 
 
