@@ -47,13 +47,38 @@ class DvsEvent:
 
 
 @dataclass
+class DvsEvents:
+    """Struct-of-arrays DVS event batch: what high-rate providers (the EDI
+    reconstructor over real aedat4 recordings) hand to the Davis source.
+    Iterates as DvsEvent objects for the scalar-oracle path; the batched
+    device path reads the arrays directly (no per-event Python objects)."""
+
+    t: np.ndarray  # int64 microseconds
+    x: np.ndarray
+    y: np.ndarray
+    on: np.ndarray  # bool
+
+    def __len__(self) -> int:
+        return len(self.t)
+
+    def __iter__(self):
+        for i in range(len(self.t)):
+            yield DvsEvent(
+                t=int(self.t[i]), x=int(self.x[i]), y=int(self.y[i]),
+                on=bool(self.on[i]),
+            )
+
+
+@dataclass
 class DavisPacket:
     """One reconstructed interval from the (external) EDI stage."""
 
     frame: Optional[np.ndarray]  # (H, W) u8 deblurred APS frame
     frame_start_us: int
     frame_end_us: int
-    events: List[DvsEvent]  # DVS events since the previous packet
+    # DVS events since the previous packet: a list of DvsEvent or a
+    # DvsEvents struct-of-arrays batch (preferred for high-rate sources)
+    events: object
 
 
 class ArrayDavisProvider:
@@ -218,12 +243,18 @@ class Davis:
 
         from ..ops import dvs_batch as B
 
-        if not events:
+        if not len(events):
             return
-        ts = np.array([e.t for e in events], np.int64)
-        xs = np.array([e.x for e in events], np.uint16)
-        ys = np.array([e.y for e in events], np.uint16)
-        ons = np.array([e.on for e in events], bool)
+        if isinstance(events, DvsEvents):
+            ts = events.t.astype(np.int64)
+            xs = events.x.astype(np.uint16)
+            ys = events.y.astype(np.uint16)
+            ons = events.on.astype(bool)
+        else:
+            ts = np.array([e.t for e in events], np.int64)
+            xs = np.array([e.x for e in events], np.uint16)
+            ys = np.array([e.y for e in events], np.uint16)
+            ons = np.array([e.on for e in events], bool)
         lanes = B.plan_davis_events(
             ts, xs, ys, ons, self.plane.width, self.plane.volume(),
             self.dvs_last_timestamps, self.dvs_last_ln_val,

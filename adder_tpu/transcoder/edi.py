@@ -37,7 +37,7 @@ from typing import Iterator, List, Optional
 import numpy as np
 
 from ..core.types import PlaneSize
-from .davis import DavisPacket, DvsEvent
+from .davis import DavisPacket, DvsEvents
 
 DEFAULT_START_C = 0.30344322344322345  # ref: bin/args/edi_args.toml start_c
 
@@ -273,10 +273,7 @@ class EdiReconstructor:
                 (t[in_exp] - exp_b).astype(np.float64), exposure, self.c,
             )
 
-            events = [
-                DvsEvent(t=int(tt), x=int(xx), y=int(yy), on=pp > 0)
-                for tt, xx, yy, pp in zip(t, x, y, p)
-            ]
+            events = DvsEvents(t=t, x=x, y=y, on=p > 0)
             yield DavisPacket(
                 frame=sharp,
                 frame_start_us=int(exp_b),

@@ -152,8 +152,11 @@ def _write_davis_fixture(path, W=64, H=48, c=0.2, n_frames=3):
     w.close()
 
 
-def test_davis_aedat4_to_adder_e2e(tmp_path):
-    """aedat4 -> EDI -> Davis source -> .adder file decodes back."""
+@pytest.mark.parametrize("batched", [False, True], ids=["oracle", "batched"])
+def test_davis_aedat4_to_adder_e2e(tmp_path, batched):
+    """aedat4 -> EDI -> Davis source -> .adder file decodes back (both the
+    scalar-oracle and the batched device integration paths consume the
+    SoA DvsEvents batches the reconstructor emits)."""
     from adder_tpu.codec.decoder import open_file_decoder
     from adder_tpu.codec.encoder import EncoderOptions, EncoderType
     from adder_tpu.core.types import PixelMultiMode, SourceCamera, TimeMode
@@ -166,6 +169,7 @@ def test_davis_aedat4_to_adder_e2e(tmp_path):
     src = Davis(
         recon, ref_time=255, tps=255_000_000,
         delta_t_max=255_000_000, mode=TranscoderMode.RawDavis,
+        batched=batched,
     )
     out_path = tmp_path / "davis.adder"
     out = open(out_path, "wb")
