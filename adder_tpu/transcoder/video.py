@@ -704,6 +704,46 @@ class Video:
         while self._inflight:
             self._collect_oldest()
 
+    # -- checkpoint / resume (beyond the reference, which has none: its
+    # only resume surface is decode-side seek — SURVEY section 5) --
+
+    def save_checkpoint(self, path) -> None:
+        """Persist the transcoder state so a long job can resume mid-stream
+        (pair with the encoder's byte position, which the caller owns).
+        Captures the pixel-state arrays and the interval counter; quality
+        settings are reconstructed from the builder calls on resume."""
+        self.flush()
+        state = {f"state_{k}": np.asarray(v)
+                 for k, v in zip(ops.PixelState._fields, self.state)}
+        np.savez_compressed(
+            path,
+            in_interval_count=np.int64(self.in_interval_count),
+            n=np.int64(self.n),
+            n_state=np.int64(self.n_state),
+            depth=np.int64(self.state.node_d.shape[0]),
+            running_intensities=self.running_intensities,
+            **state,
+        )
+
+    def load_checkpoint(self, path) -> None:
+        """Restore state saved by save_checkpoint (same plane/config)."""
+        z = np.load(path)
+        if int(z["n"]) != self.n:
+            raise SourceError(
+                f"checkpoint plane volume {int(z['n'])} != {self.n}"
+            )
+        if int(z["n_state"]) != self.n_state:
+            raise SourceError(
+                "checkpoint was taken with a different kernel padding"
+            )
+        fields = {
+            k: jnp.asarray(z[f"state_{k}"]) for k in ops.PixelState._fields
+        }
+        self.state = ops.PixelState(**fields)
+        self._depth = int(z["depth"])
+        self.in_interval_count = int(z["in_interval_count"])
+        self.running_intensities = z["running_intensities"]
+
     def detect_features(self, detect: bool, show_features=None) -> "Video":
         self.feature_detection = detect
         return self

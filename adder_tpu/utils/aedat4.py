@@ -116,17 +116,55 @@ class FramePacket:
     image: np.ndarray  # (H, W) u8
 
 
+class _Pushback:
+    """Minimal unread-able wrapper for non-seekable streams (sockets)."""
+
+    def __init__(self, f: BinaryIO, head: bytes):
+        self.f = f
+        self.head = head
+
+    def read(self, n: int) -> bytes:
+        out = b""
+        if self.head:
+            out, self.head = self.head[:n], self.head[n:]
+            n -= len(out)
+        if n > 0:
+            out += self.f.read(n)
+        return out
+
+    def close(self):
+        self.f.close()
+
+
 class Aedat4Reader:
-    """Iterates decoded packets of an AEDAT4 file."""
+    """Iterates decoded packets of an AEDAT4 file, or of a live DV stream.
+
+    `path_or_file` may be a path, a binary stream, or a "tcp://host:port"
+    address (the reference's EDI socket mode, edi_args.toml mode="socket"):
+    dv-runtime's network output carries the same IOHeader + packet layout;
+    the file magic is accepted but not required on sockets."""
 
     def __init__(self, path_or_file):
-        if isinstance(path_or_file, (str, bytes)):
-            self.f: BinaryIO = open(path_or_file, "rb")
+        sock_stream = False
+        if isinstance(path_or_file, str) and path_or_file.startswith("tcp://"):
+            import socket as _socket
+
+            host, _, port = path_or_file[len("tcp://"):].partition(":")
+            s = _socket.create_connection((host, int(port)))
+            self._socket = s
+            self.f: BinaryIO = s.makefile("rb")
+            sock_stream = True
+        elif isinstance(path_or_file, (str, bytes)):
+            self.f = open(path_or_file, "rb")
         else:
             self.f = path_or_file
         magic = self.f.read(len(MAGIC))
         if magic != MAGIC:
-            raise ValueError(f"not an AEDAT4 file (magic {magic!r})")
+            if sock_stream or not isinstance(path_or_file, (str, bytes)):
+                # live streams may start directly at the IOHeader
+                self.f = _Pushback(self.f, magic)
+            else:
+                raise ValueError(f"not an AEDAT4 file (magic {magic!r})")
         (hdr_len,) = struct.unpack("<i", self.f.read(4))
         hdr = self.f.read(hdr_len)
         t = _fb_root_table(hdr)

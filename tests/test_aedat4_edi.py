@@ -218,3 +218,34 @@ def test_aedat4_dvs_visualize_cli(tmp_path):
     )
     assert r.returncode == 0, r.stderr[-2000:]
     assert out.stat().st_size > 0
+
+
+def test_aedat4_socket_stream(tmp_path):
+    """Live-stream ingest over TCP (the reference's EDI socket mode):
+    serving a fixture over localhost yields the same packets, with or
+    without the file magic prefix."""
+    import socket
+    import threading
+
+    fx = tmp_path / "davis.aedat4"
+    _write_davis_fixture(str(fx), n_frames=2)
+    data = fx.read_bytes()
+
+    for strip_magic in (False, True):
+        payload = data[14:] if strip_magic else data
+        srv = socket.create_server(("127.0.0.1", 0))
+        port = srv.getsockname()[1]
+
+        def serve():
+            conn, _ = srv.accept()
+            conn.sendall(payload)
+            conn.close()
+
+        th = threading.Thread(target=serve, daemon=True)
+        th.start()
+        r = Aedat4Reader(f"tcp://127.0.0.1:{port}")
+        pkts = list(r.packets())
+        ref = list(Aedat4Reader(str(fx)).packets())
+        assert len(pkts) == len(ref) > 0
+        th.join()
+        srv.close()

@@ -187,3 +187,66 @@ def test_consume_single_matches_batch(tmp_path):
         src.video.end_write_stream()
         outs.append(buf.getvalue())
     assert outs[0] == outs[1]
+
+
+def test_checkpoint_resume_bitexact(tmp_path):
+    """Transcoding 2 chunks straight equals 1 chunk + checkpoint/restore +
+    1 chunk (the reference has no transcoder checkpointing at all)."""
+    import io
+
+    from adder_tpu.codec.encoder import EncoderOptions, EncoderType
+    from adder_tpu.core.types import (
+        PixelMultiMode,
+        PlaneSize,
+        SourceCamera,
+        TimeMode,
+    )
+    from adder_tpu.transcoder.video import Video
+    from adder_tpu.core.types import Mode
+
+    rng = np.random.default_rng(4)
+    H, W, T = 24, 32, 4
+    frames = rng.integers(0, 256, (2 * T, H, W, 1)).astype(np.uint8)
+
+    def fresh(writer):
+        v = Video(PlaneSize(W, H, 1), Mode.FramePerfect, chunk_frames=T)
+        v.time_parameters(255 * 30, 255, 255 * 4, TimeMode.AbsoluteT)
+        v.write_out(
+            SourceCamera.FramedU8, TimeMode.AbsoluteT,
+            PixelMultiMode.Collapse, None, EncoderType.Raw,
+            EncoderOptions.default(v.plane), writer,
+        )
+        v.update_quality_manual(0, 0, 4, 1, 2.0)
+        return v
+
+    straight = io.BytesIO()
+    v1 = fresh(straight)
+    v1.integrate_matrix_batch(frames[:T])
+    v1.integrate_matrix_batch(frames[T:])
+    v1.end_write_stream()
+
+    part1 = io.BytesIO()
+    v2 = fresh(part1)
+    v2.integrate_matrix_batch(frames[:T])
+    ckpt = tmp_path / "state.npz"
+    v2.save_checkpoint(ckpt)
+    v2.end_write_stream()  # close part1 (appends its EOF event)
+    # brand-new instance resumes from the checkpoint
+    part2 = io.BytesIO()
+    v3 = fresh(part2)
+    v3.load_checkpoint(ckpt)
+    v3.integrate_matrix_batch(frames[T:])
+    v3.end_write_stream()
+
+    # straight stream == part1 events + part2 events (headers identical,
+    # EOF events only at each close; compare event payloads)
+    hdr = len(straight.getvalue()) - 0
+    s = straight.getvalue()
+    p1 = part1.getvalue()
+    p2 = part2.getvalue()
+    # both part streams carry the same header; strip part2's header and
+    # part1's trailing EOF event (9 bytes) before concatenating
+    header_len = v1.encoder.meta.header_size
+    ev_size = v1.encoder.meta.event_size
+    joined = p1[:-ev_size] + p2[header_len:]
+    assert joined == s
