@@ -240,6 +240,11 @@ class CompressedOutput:
         self.entropy = entropy
         if entropy == "rans":
             self.magic = MAGIC_RANS
+        if meta.codec_version < 3 and meta.adu_interval > 1:
+            raise CodecError(
+                "compressed streams with adu_interval > 1 need a v3 header "
+                "(the field is a v3 extension; decoders would assume span 1)"
+            )
         self.meta = meta
         self.meta.event_size = event_size_for_plane(meta.plane)
         self.writer = writer

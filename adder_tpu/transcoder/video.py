@@ -175,8 +175,11 @@ class Video:
         encoder_type: EncoderType,
         encoder_options: EncoderOptions,
         write,
+        entropy: str = "cabac",
     ) -> "Video":
-        """Attach the output encoder (ref: video.rs:546-636)."""
+        """Attach the output encoder (ref: video.rs:546-636). `entropy`
+        selects the compressed stage: "cabac" (reference-compatible
+        `addec`) or "rans" (own interleaved-rANS `addrn`)."""
         self.pixel_multi_mode = (
             PixelMultiMode.Collapse
             if pixel_multi_mode is None
@@ -191,7 +194,9 @@ class Video:
         if encoder_type == EncoderType.Raw:
             self.encoder = Encoder(RawOutput(meta, write), encoder_options)
         elif encoder_type == EncoderType.Compressed:
-            self.encoder = Encoder.new_compressed(meta, write, encoder_options)
+            self.encoder = Encoder.new_compressed(
+                meta, write, encoder_options, entropy=entropy
+            )
         else:
             self.encoder = Encoder.new_empty(meta, encoder_options)
         self.encoder_type = encoder_type

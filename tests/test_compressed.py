@@ -194,6 +194,7 @@ def test_fixture_reencode_compressed_smaller(samples_dir, tmp_path):
 
     meta = dec.meta
     meta.adu_interval = 10
+    meta.codec_version = 3  # adu_interval is a v3 header extension
     meta.time_mode = TimeMode.AbsoluteT
     path = tmp_path / "re.addec"
     enc = Encoder.new_compressed(meta, open(path, "wb"), EncoderOptions.default(meta.plane))

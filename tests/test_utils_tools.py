@@ -233,3 +233,43 @@ def test_prophesee_transcode(tmp_path):
         key = (e.x, e.y)
         assert e.t >= per_px.get(key, 0), (key, e.t, per_px.get(key))
         per_px[key] = e.t
+
+
+def test_adder_recompress_roundtrip(tmp_path, samples_dir):
+    """raw -> addrn -> raw preserves the event stream (AbsoluteT fixture);
+    DeltaT inputs are refused for compressed outputs."""
+    import pathlib
+    import subprocess
+    import sys as _sys
+
+    repo = pathlib.Path(__file__).resolve().parent.parent
+    tool = repo / "tools" / "adder_recompress.py"
+    src = samples_dir / "bunny_v2_t.adder"
+    mid = tmp_path / "bunny.addrn"
+    back = tmp_path / "bunny_back.adder"
+    r1 = subprocess.run(
+        [_sys.executable, str(tool), "-i", str(src), "-o", str(mid),
+         "--codec", "rans"], capture_output=True, text=True, timeout=300,
+    )
+    assert r1.returncode == 0, r1.stderr[-1500:]
+    r2 = subprocess.run(
+        [_sys.executable, str(tool), "-i", str(mid), "-o", str(back),
+         "--codec", "raw"], capture_output=True, text=True, timeout=300,
+    )
+    assert r2.returncode == 0, r2.stderr[-1500:]
+
+    from adder_tpu.codec.decoder import open_file_decoder
+
+    a = open_file_decoder(str(src)).digest_all()
+    b = open_file_decoder(str(back)).digest_all()
+    assert sorted(zip(a.x, a.y, a.d, a.t)) == sorted(zip(b.x, b.y, b.d, b.t))
+
+    # DeltaT input refused for compressed output
+    r3 = subprocess.run(
+        [_sys.executable, str(tool),
+         "-i", str(samples_dir / "nyc_source_v2.adder"),
+         "-o", str(tmp_path / "x.addec"), "--codec", "cabac"],
+        capture_output=True, text=True, timeout=300,
+    )
+    assert r3.returncode == 1
+    assert "AbsoluteT" in r3.stderr

@@ -33,6 +33,11 @@ def main() -> int:
     ap.add_argument(
         "--compressed", action="store_true", help="write addec instead of raw"
     )
+    ap.add_argument(
+        "--entropy", default="cabac", choices=["cabac", "rans"],
+        help="compressed entropy stage: reference-compatible addec or the"
+        " TPU-friendly interleaved-rANS addrn",
+    )
     ap.add_argument("--batched", action="store_true",
                     help="use the batched device integration path")
     ap.add_argument("--no-prefetch", action="store_true",
@@ -82,6 +87,7 @@ def main() -> int:
         EncoderType.Compressed if args.compressed else EncoderType.Raw,
         EncoderOptions.default(src.plane),
         out,
+        entropy=args.entropy,
     )
     if args.crf is not None:
         src.crf(args.crf)
