@@ -393,8 +393,8 @@ class Davis:
             px.c_increase_counter = 0
         return self
 
-    def write_out(self, *args):
-        self.video.write_out(*args)
+    def write_out(self, *args, **kwargs):
+        self.video.write_out(*args, **kwargs)
         return self
 
     def get_video_ref(self):

@@ -87,7 +87,10 @@ class Video:
         # two paths produce byte-identical .adder files). The plane is padded
         # to the kernel block; pad-pixel events are masked.
         backend = jax.default_backend()
-        use_pallas = backend != "cpu" and self.n >= (1 << 16)
+        # the fused kernel pads tiny planes to one 4096-pixel block; only
+        # sub-block planes stay on the XLA path (whose megafusion also
+        # compiles far slower than the kernel)
+        use_pallas = backend != "cpu" and self.n >= 4096
         if os.environ.get("ADDER_TPU_FORCE_PALLAS") == "1":
             use_pallas = backend != "cpu"
         if os.environ.get("ADDER_TPU_FORCE_PALLAS") == "0":

@@ -160,7 +160,7 @@ class Aedat4Reader:
             self.f = path_or_file
         magic = self.f.read(len(MAGIC))
         if magic != MAGIC:
-            if sock_stream or not isinstance(path_or_file, (str, bytes)):
+            if sock_stream:
                 # live streams may start directly at the IOHeader
                 self.f = _Pushback(self.f, magic)
             else:
