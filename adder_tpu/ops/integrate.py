@@ -459,6 +459,21 @@ def _integrate(s: _S, intensity, time, p: TranscodeParams):
     )
 
     depth = len(s.nd)
+    frame_perfect = p.mode == int(Mode.FramePerfect)
+    if frame_perfect:
+        # FramePerfect breaks the walk at the FIRST fire (and discards the
+        # remainder), so the correctly-rounded division and the fenced
+        # product — the loop's most expensive ops — are needed at most
+        # once per pixel. Record the firing node's pre-fire values during
+        # the walk and evaluate the event payload once afterwards
+        # (bit-identical: the deferred inputs equal the in-loop ones —
+        # i_cur and t_cur are still their original values at first fire).
+        fire_ks = []
+        snap_d = jnp.zeros_like(s.nd[0])
+        snap_integ = jnp.zeros_like(s.ni[0])
+        snap_dt = jnp.zeros_like(s.ndt[0])
+        child_d0 = _d_from_intensity(i_cur)  # i_cur loop-invariant pre-fire
+
     for k in range(depth):
         d, integ, dt = s.nd[k], s.ni[k], s.ndt[k]
 
@@ -466,22 +481,30 @@ def _integrate(s: _S, intensity, time, p: TranscodeParams):
         fire = active & (total >= _dshift_f32(d))
 
         new_d = _d_from_intensity(total)
-        # correctly-rounded division (XLA's f32 divide is ~1 ulp off IEEE,
-        # which would shift event timestamps; see ops/numerics.py)
-        prop = exact_div((_dshift_f32(new_d) - integ).astype(_f32), i_cur)
-        prop = jnp.where(
-            (new_d == D_ZERO_INTEGRATION)
-            | (d == D_ZERO_INTEGRATION)
-            | (i_cur < F32_EPSILON),
-            _f32(1.0),
-            prop,
-        )
-        # barrier: force separate f32 rounding of the products (the reference
-        # rounds `time * prop` before adding; XLA would otherwise fuse into
-        # an FMA and shift event timestamps by 1 tick)
-        t_prop = _fence((t_cur * prop).astype(_f32))
-        i_prop = _fence((i_cur * prop).astype(_f32))
-        fired_best_dt = (dt + t_prop).astype(_f32)
+        if frame_perfect:
+            fire_ks.append(fire)
+            snap_d = jnp.where(fire, d, snap_d)
+            snap_integ = jnp.where(fire, integ, snap_integ)
+            snap_dt = jnp.where(fire, dt, snap_dt)
+        else:
+            # correctly-rounded division (XLA's f32 divide is ~1 ulp off
+            # IEEE, which would shift event timestamps; see ops/numerics.py)
+            prop = exact_div(
+                (_dshift_f32(new_d) - integ).astype(_f32), i_cur
+            )
+            prop = jnp.where(
+                (new_d == D_ZERO_INTEGRATION)
+                | (d == D_ZERO_INTEGRATION)
+                | (i_cur < F32_EPSILON),
+                _f32(1.0),
+                prop,
+            )
+            # barrier: force separate f32 rounding of the products (the
+            # reference rounds `time * prop` before adding; XLA would
+            # otherwise fuse into an FMA and shift timestamps by 1 tick)
+            t_prop = _fence((t_cur * prop).astype(_f32))
+            i_prop = _fence((i_cur * prop).astype(_f32))
+            fired_best_dt = (dt + t_prop).astype(_f32)
 
         # D bump for continued integration (ref: :449-461)
         bump = new_d < D_MAX
@@ -497,22 +520,19 @@ def _integrate(s: _S, intensity, time, p: TranscodeParams):
         s.ndt[k] = jnp.where(
             (fire & bump) | accum, (dt + t_cur).astype(_f32), dt
         )
-        s.bd[k] = jnp.where(fire, new_d, s.bd[k])
-        s.bdt[k] = jnp.where(fire, fired_best_dt, s.bdt[k])
+        if not frame_perfect:
+            s.bd[k] = jnp.where(fire, new_d, s.bd[k])
+            s.bdt[k] = jnp.where(fire, fired_best_dt, s.bdt[k])
 
-        # remainder (ref: :463-473)
-        rem_i = (i_cur - i_prop).astype(_f32)
-        rem_t = (t_cur - t_prop).astype(_f32)
-        neg = rem_i < 0.0
-        if p.mode == int(Mode.FramePerfect):
-            next_i = jnp.zeros_like(i_cur)
-            next_t = jnp.zeros_like(t_cur)
-        else:
+            # remainder (ref: :463-473)
+            rem_i = (i_cur - i_prop).astype(_f32)
+            rem_t = (t_cur - t_prop).astype(_f32)
+            neg = rem_i < 0.0
             next_i = jnp.where(neg, 0.0, rem_i).astype(_f32)
             next_t = jnp.where(neg, 0.0, rem_t).astype(_f32)
 
         # child creation at k+1 (ref: :344-355)
-        child_d = _d_from_intensity(i_cur)
+        child_d = child_d0 if frame_perfect else _d_from_intensity(i_cur)
         if k + 1 < depth:
             s.nd[k + 1] = jnp.where(fire, child_d, s.nd[k + 1])
             s.ni[k + 1] = jnp.where(fire, 0.0, s.ni[k + 1])
@@ -522,14 +542,15 @@ def _integrate(s: _S, intensity, time, p: TranscodeParams):
             s.overflow = s.overflow + jnp.sum(fire.astype(_i32))
         s.length = jnp.where(fire, k + 2, s.length)
 
-        i_cur = jnp.where(fire, next_i, i_cur)
-        t_cur = jnp.where(fire, next_t, t_cur)
-
         # break conditions for the next iteration (idx = k+1)
         brk = collapse_brk
-        if p.mode == int(Mode.FramePerfect):
+        if frame_perfect:
+            # remainder discarded; fired lanes deactivate, so i_cur/t_cur
+            # keep their original values for the (masked) remaining steps
             brk = brk | fire
         else:
+            i_cur = jnp.where(fire, next_i, i_cur)
+            t_cur = jnp.where(fire, next_t, t_cur)
             # continuous: child D override when remaining time > ref_time
             if k + 1 < depth:
                 override = fire & ~collapse_brk & (t_cur > _f32(p.ref_time))
@@ -539,6 +560,26 @@ def _integrate(s: _S, intensity, time, p: TranscodeParams):
             brk = brk | (fire & (i_cur == 0.0))
         brk = brk | ((k + 1) >= s.length)
         active = active & ~brk
+
+    if frame_perfect:
+        # deferred event payload for the (single) fired node
+        total_f = (snap_integ + i_cur).astype(_f32)
+        new_d_f = _d_from_intensity(total_f)
+        prop = exact_div(
+            (_dshift_f32(new_d_f) - snap_integ).astype(_f32), i_cur
+        )
+        prop = jnp.where(
+            (new_d_f == D_ZERO_INTEGRATION)
+            | (snap_d == D_ZERO_INTEGRATION)
+            | (i_cur < F32_EPSILON),
+            _f32(1.0),
+            prop,
+        )
+        t_prop = _fence((t_cur * prop).astype(_f32))
+        best_dt_f = (snap_dt + t_prop).astype(_f32)
+        for k in range(depth):
+            s.bd[k] = jnp.where(fire_ks[k], new_d_f, s.bd[k])
+            s.bdt[k] = jnp.where(fire_ks[k], best_dt_f, s.bdt[k])
 
     s.length = jnp.minimum(s.length, depth)  # overflow containment
     s.dtm_reached = s.ndt[0] >= _f32(p.delta_t_max)
