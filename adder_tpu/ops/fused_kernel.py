@@ -378,11 +378,15 @@ def _kernel_body(p: ops.TranscodeParams, block: int, pack: int,
             for k, (_, _, m_k) in enumerate(pixd):
                 mw = mw | (m_k.astype(_i32) << k)
                 cnt = cnt + m_k.astype(_i32)
-        # low 16 bits: per-pixel slot max (pack fallback); bit 16: the
-        # arena depth overflowed (shallow graphs rerun with a deeper one)
-        o_pmax[0] = jnp.maximum(
-            o_pmax[0],
-            jnp.max(cnt) | jnp.where(depth_ovf > 0, 1 << 16, 0),
+        # low 16 bits: per-pixel slot max (max-combined; pack fallback);
+        # bit 16: arena depth overflowed (OR-combined; deep-graph rerun).
+        # The channels must combine independently — a plain max() would
+        # let a flagged-but-small value mask a larger slot count.
+        prev = o_pmax[0]
+        o_pmax[0] = (
+            jnp.maximum(prev & 0xFFFF, jnp.max(cnt))
+            | (prev & (1 << 16))
+            | jnp.where(depth_ovf > 0, 1 << 16, 0)
         )
 
         # ---- interleave to pixel-major staging order ----

@@ -821,7 +821,11 @@ def make_fused_chunk(
                 st, frame_u8, time, bufp, buft, off
             )
             run = jnp.where(rhas, rval, run)
-            carry = (st, run, bufp, buft, off2, jnp.maximum(pmax, pmax_i))
+            # combine channels independently: low 16 bits max, bit 16 OR
+            pmax = jnp.maximum(pmax & 0xFFFF, pmax_i & 0xFFFF) | (
+                (pmax | pmax_i) & (1 << 16)
+            )
+            carry = (st, run, bufp, buft, off2, pmax)
             return carry, (off2 - off, run)
 
         bufp0 = jnp.zeros((rows_cap, 128), _u32)

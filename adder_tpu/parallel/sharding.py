@@ -106,9 +106,13 @@ def make_fused_chunk_sharded(
     (state, bufs_pixd (D*cap,), bufs_t (D*cap,), totals (D,),
     per_interval (D, T), pack_max (D,), runnings (T, N_global)).
     Host assembly per device d: events = buf[d*cap : d*cap + totals[d]],
-    pixel ids offset by d * (N_global / D). `interpret=True` runs the
-    kernel under the Pallas interpreter (CPU meshes / the driver's
-    multi-chip dry run)."""
+    pixel ids offset by d * (N_global / D). Overflow contract mirrors the
+    single-device path and is the CALLER's to enforce: totals[d] > cap
+    means a capacity rerun with a larger event_cap_per_dev, and
+    (pack_max & 0xFFFF) > pack means events were truncated by the packed
+    lanes — rerun with pack=16 (assemble_sharded_events checks both when
+    given pack_max). `interpret=True` runs the kernel under the Pallas
+    interpreter (CPU meshes / the driver's multi-chip dry run)."""
     from jax.experimental.shard_map import shard_map
 
     st_spec = ops.PixelState(
@@ -151,9 +155,18 @@ def make_fused_chunk_sharded(
     return jax.jit(fn)
 
 
-def assemble_sharded_events(bufs_pixd, bufs_t, totals, n_devices: int):
+def assemble_sharded_events(bufs_pixd, bufs_t, totals, n_devices: int,
+                            pack_max=None, pack: int = 4):
     """Host-side merge of per-device fused buffers into the global stream
-    (device-major == raster order under row-block sharding)."""
+    (device-major == raster order under row-block sharding). Pass the
+    chunk's pack_max output to also detect packed-lane truncation."""
+    if pack_max is not None and pack < 16:
+        pm = int(np.max(np.asarray(pack_max))) & 0xFFFF
+        if pm > pack:
+            raise OverflowError(
+                f"a pixel emitted {pm} events (> pack={pack}): rerun the "
+                "chunk with pack=16 to avoid event loss"
+            )
     cap = bufs_pixd.shape[0] // n_devices
     pixd_parts = []
     t_parts = []

@@ -16,8 +16,8 @@ from ..core.types import Mode, PlaneSize, SourceCamera, TimeMode
 from .video import SourceError, Video
 
 
-# golden-pinned BGR->gray conversion lives in utils/cv.py (one copy)
-from ..utils.cv import handle_color  # noqa: F401  (re-export)
+# golden-pinned video-rs-quirk conversion (utils/cv.py documents both)
+from ..utils.cv import handle_color_videors as handle_color  # noqa: F401
 
 
 class FramedArray:
@@ -77,10 +77,11 @@ class FramedArray:
         return self
 
     def write_out(self, source_camera, time_mode, pixel_multi_mode,
-                  adu_interval, encoder_type, encoder_options, write):
+                  adu_interval, encoder_type, encoder_options, write,
+                  **kwargs):
         self.video.write_out(
             source_camera, time_mode, pixel_multi_mode, adu_interval,
-            encoder_type, encoder_options, write,
+            encoder_type, encoder_options, write, **kwargs,
         )
         return self
 

@@ -160,10 +160,11 @@ class Prophesee:
         return self
 
     def write_out(self, source_camera, time_mode, pixel_multi_mode,
-                  adu_interval, encoder_type, encoder_options, write):
+                  adu_interval, encoder_type, encoder_options, write,
+                  **kwargs):
         self.video.write_out(
             source_camera, time_mode, pixel_multi_mode, adu_interval,
-            encoder_type, encoder_options, write,
+            encoder_type, encoder_options, write, **kwargs,
         )
         return self
 

@@ -749,6 +749,11 @@ class Video:
         }
         self.state = ops.PixelState(**fields)
         self._depth = int(z["depth"])
+        if not self._fused and self._depth < ops.DEPTH:
+            # only the fused kernel detects depth overflow; other paths
+            # must run full-depth arenas
+            self.state = ops.pad_state_depth(self.state, ops.DEPTH)
+            self._depth = ops.DEPTH
         self.in_interval_count = int(z["in_interval_count"])
         self.running_intensities = z["running_intensities"]
 

@@ -123,7 +123,10 @@ class _Pushback:
         self.f = f
         self.head = head
 
-    def read(self, n: int) -> bytes:
+    def read(self, n: int = -1) -> bytes:
+        if n is None or n < 0:
+            out, self.head = self.head, b""
+            return out + self.f.read()
         out = b""
         if self.head:
             out, self.head = self.head[:n], self.head[n:]
@@ -269,6 +272,9 @@ class Aedat4Reader:
 
     def close(self):
         self.f.close()
+        sock = getattr(self, "_socket", None)
+        if sock is not None:
+            sock.close()  # makefile() does not close the underlying socket
 
 
 def _lz4_frame_decompress(payload: bytes) -> bytes:

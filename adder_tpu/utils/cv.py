@@ -124,15 +124,27 @@ def fast_mask_jax(img, threshold: int = INTENSITY_THRESHOLD):
 
 
 def handle_color(frame_bgr: np.ndarray, color: bool) -> np.ndarray:
-    """BGR frame -> gray or passthrough (ref: utils/cv.rs:215-232).
+    """BGR -> gray (ITU-R 601 luma, truncating) or passthrough
+    (ref: cv.rs:215-232). Used by general BGR inputs (aedat4 APS frames
+    through the EDI path)."""
+    if color:
+        return frame_bgr
+    gray = (
+        frame_bgr[..., 0].astype(np.float64) * 0.114
+        + frame_bgr[..., 1].astype(np.float64) * 0.587
+        + frame_bgr[..., 2].astype(np.float64) * 0.299
+    )
+    return gray.astype(np.uint8)[..., None]
 
-    Reference-faithful quirk, established against the committed
-    `lake_scaled_out` golden: the reference applies coefficients
-    (0.114, 0.587, 0.299) to channels (0, 1, 2) of frames that video-rs
-    delivers in RGB order, so the 0.114 weight lands on RED, and the
-    result is truncated (`as u8`), not rounded. cv2 delivers BGR, so the
-    weights are applied mirrored here to reproduce the same bytes.
-    (Single source of truth — transcoder/framed.py re-exports this.)"""
+
+def handle_color_videors(frame_bgr: np.ndarray, color: bool) -> np.ndarray:
+    """The framed-source conversion, reference-faithful to a quirk that is
+    golden-pinned against the committed `lake_scaled_out`: the reference
+    applies coefficients (0.114, 0.587, 0.299) to channels (0, 1, 2) of
+    frames that video-rs delivers in RGB order, so the 0.114 weight lands
+    on RED (truncated, not rounded). cv2 delivers BGR, so the weights are
+    mirrored here to reproduce the same bytes. Only the mp4 framed source
+    uses this; other BGR inputs use the ITU-correct handle_color."""
     if color:
         return frame_bgr
     b = frame_bgr[..., 0].astype(np.float64)

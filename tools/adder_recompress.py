@@ -75,9 +75,7 @@ def main() -> int:
     if args.codec == "raw":
         enc = Encoder(RawOutput(meta, out), opts)
     else:
-        enc = Encoder.new_compressed(meta, out, opts, entropy={
-            "cabac": "cabac", "rans": "rans"
-        }[args.codec])
+        enc = Encoder.new_compressed(meta, out, opts, entropy=args.codec)
     enc.ingest_event_array(events)
     enc.close_writer()
     out.close()
