@@ -31,9 +31,16 @@ def host_cache_key() -> str:
     model = platform.processor() or platform.machine() or "unknown"
     try:
         with open("/proc/cpuinfo") as f:
-            m = re.search(r"model name\s*:\s*(.+)", f.read())
-            if m:
-                model = m.group(1)
+            info = f.read()
+        m = re.search(r"model name\s*:\s*(.+)", info)
+        if m:
+            model = m.group(1)
+        # Same model name does not imply same ISA surface (VMs mask
+        # features); foreign AOT executables warn "could lead to
+        # execution errors such as SIGILL". Key by the flag set too.
+        f = re.search(r"flags\s*:\s*(.+)", info)
+        if f:
+            model += "|" + " ".join(sorted(f.group(1).split()))
     except OSError:
         pass
     return hashlib.sha1(model.encode()).hexdigest()[:12]
