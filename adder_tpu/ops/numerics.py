@@ -31,17 +31,41 @@ _SPLIT = 4097.0  # 2^12 + 1, Veltkamp split constant (exact in f32)
 # occurs in lanes the kernel masks out anyway), so the product is consumed
 # by a min, never directly by the add — no contraction pattern exists.
 #
-# ops.integrate toggles IN_PALLAS: False (XLA path) | "mosaic" (compiled
-# Pallas kernel — no optimization_barrier there, bitcast keeps Mosaic from
-# re-fusing) | "interpret" (kernel under pallas interpret mode — plain XLA
-# ops, same fence as the XLA path).
-IN_PALLAS = False
+# Kernel bodies select a fence mode while tracing: False (XLA path) |
+# "mosaic" (compiled Pallas kernel — no optimization_barrier there, bitcast
+# keeps Mosaic from re-fusing) | "interpret" (kernel under pallas interpret
+# mode — plain XLA ops, same fence as the XLA path). The mode is
+# THREAD-LOCAL: traces run concurrently (background prewarm compiles vs
+# foreground rerun compiles), and a process-global flag would let one
+# thread's kernel trace observe another's fence mode — silently breaking
+# the bit-parity the fences guarantee.
+_FENCE_TLS = __import__("threading").local()
+
+
+def fence_mode():
+    """This thread's active fence mode: False | "mosaic" | "interpret"."""
+    return getattr(_FENCE_TLS, "mode", False)
+
+
+class pallas_fences:
+    """Context manager scoping the fence mode to the current thread's trace."""
+
+    def __init__(self, mode):
+        self.mode = mode
+
+    def __enter__(self):
+        self.prev = fence_mode()
+        _FENCE_TLS.mode = self.mode
+
+    def __exit__(self, *exc):
+        _FENCE_TLS.mode = self.prev
+
 
 _F32_MAX = float(jnp.finfo(jnp.float32).max)
 
 
 def barrier(x):
-    if IN_PALLAS == "mosaic":
+    if fence_mode() == "mosaic":
         return jax.lax.bitcast_convert_type(
             jax.lax.bitcast_convert_type(x, jnp.int32), _f32
         )

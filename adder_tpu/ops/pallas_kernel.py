@@ -52,7 +52,8 @@ def _kernel_body(p: ops.TranscodeParams, interpret: bool = False):
         o_run_val, o_run_has,  # (1, B) u8
         o_overflow,  # (1, B) i32, block count broadcast across lanes
     ):
-        numerics.IN_PALLAS = "interpret" if interpret else "mosaic"
+        fences = numerics.pallas_fences("interpret" if interpret else "mosaic")
+        fences.__enter__()
         try:
             s = ops._S()
             s.nd = [nd_ref[k : k + 1, :] for k in range(DEPTH)]
@@ -104,7 +105,7 @@ def _kernel_body(p: ops.TranscodeParams, interpret: bool = False):
             o_run_has[:] = run_has.astype(jnp.uint8)
             o_overflow[:] = jnp.full(o_overflow.shape, s.overflow, _i32)
         finally:
-            numerics.IN_PALLAS = False
+            fences.__exit__()
 
     return kernel
 

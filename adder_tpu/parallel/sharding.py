@@ -18,6 +18,17 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from ..ops import integrate as ops
 
 
+def _get_shard_map():
+    """jax.shard_map (stable since jax 0.4.35); the experimental module is
+    deprecated as of 0.8 and slated for removal."""
+    sm = getattr(jax, "shard_map", None)
+    if sm is not None:
+        return sm
+    from jax.experimental.shard_map import shard_map
+
+    return shard_map
+
+
 def make_mesh(devices=None, axis_name: str = "px") -> Mesh:
     devices = devices if devices is not None else jax.devices()
     return Mesh(np.array(devices), (axis_name,))
@@ -113,7 +124,7 @@ def make_fused_chunk_sharded(
     lanes — rerun with pack=16 (assemble_sharded_events checks both when
     given pack_max). `interpret=True` runs the kernel under the Pallas
     interpreter (CPU meshes / the driver's multi-chip dry run)."""
-    from jax.experimental.shard_map import shard_map
+    shard_map = _get_shard_map()
 
     st_spec = ops.PixelState(
         node_d=P(None, axis_name), node_integ=P(None, axis_name),

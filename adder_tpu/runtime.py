@@ -46,11 +46,29 @@ def host_cache_key() -> str:
     return hashlib.sha1(model.encode()).hexdigest()[:12]
 
 
+def configure_platform() -> None:
+    """Pin the JAX platform from ADDER_TPU_PLATFORM, by config (not env):
+    environments that pre-register an accelerator plugin at interpreter
+    startup override JAX_PLATFORMS, so subprocesses (CLI tools under test)
+    can only be steered reliably through jax.config. No-op once a backend
+    is initialized."""
+    plat = os.environ.get("ADDER_TPU_PLATFORM")
+    if not plat:
+        return
+    try:
+        import jax
+
+        jax.config.update("jax_platforms", plat)
+    except Exception:
+        pass
+
+
 def configure_compilation_cache() -> None:
     global _configured
     if _configured:
         return
     _configured = True
+    configure_platform()
     loc = os.environ.get("ADDER_TPU_XLA_CACHE")
     if loc == "0":
         return

@@ -248,7 +248,9 @@ class EdiReconstructor:
                 continue
             img = pkt.image
             if img.ndim == 3:
-                img = handle_color(img, color=False)
+                # handle_color returns (H, W, 1); deblur and DavisPacket
+                # expect a 2-D luma plane.
+                img = handle_color(img, color=False)[..., 0]
             t = (
                 np.concatenate(pend_t) if pend_t else np.empty(0, np.int64)
             )

@@ -291,12 +291,18 @@ def _lz4_frame_decompress(payload: bytes) -> bytes:
     block_checksum = (flg >> 4) & 1
     content_checksum = (flg >> 2) & 1
     block_indep = (flg >> 5) & 1
+    dict_id = flg & 1
     if content_size_flag:
         pos += 8
+    if dict_id:
+        # the frame was compressed against an external dictionary we do
+        # not have; decoding without it would silently corrupt
+        raise ValueError("LZ4 frame: dictionaries unsupported")
     pos += 1  # header checksum byte
-    max_block = [0, 0, 0, 0, 64 << 10, 256 << 10, 1 << 20, 4 << 20][
-        (bd >> 4) & 7
-    ]
+    bd_code = (bd >> 4) & 7
+    if bd_code < 4:
+        raise ValueError(f"LZ4 frame: reserved block-max-size code {bd_code}")
+    max_block = [64 << 10, 256 << 10, 1 << 20, 4 << 20][bd_code - 4]
     out = io.BytesIO()
     window = b""
     while pos + 4 <= len(payload):

@@ -9,6 +9,10 @@ import os
 import sys
 
 os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# CLI tools launched as subprocesses by tests read this in
+# adder_tpu.runtime.configure_platform (a config-level pin; the env var
+# alone is overridden by preregistered accelerator plugins)
+os.environ.setdefault("ADDER_TPU_PLATFORM", "cpu")
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (

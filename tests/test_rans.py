@@ -114,6 +114,7 @@ def test_corrupt_blob_rejected():
         cc.decompress_adu(bytes(blob), W, H, 1, 0, 255, 4, rans=True)
 
 
+@pytest.mark.slow
 def test_decode_speed_exceeds_cabac():
     """The point of the stage: interleaved static decode is faster than the
     serial adaptive coder (recorded, not asserted hard — CI hosts vary)."""
