@@ -139,7 +139,7 @@ class Encoder:
     def __init__(self, backend: _WriteBackend, options: EncoderOptions):
         self.output = backend
         self.options = options
-        self._queue: list[tuple[np.ndarray, ...]] = []  # pending SoA chunks
+        self._pending: Optional[EventArray] = None  # t-sorted reorder buffer
         self._queue_max_t = 0
         self._current_event_rate = 0.0
         self._last_event_ts = time.monotonic()
@@ -224,20 +224,42 @@ class Encoder:
         """Global t-ordering with bounded delay (ref: encoder.rs:255-272).
 
         Events are buffered and released in t-sorted order once
-        `max_t_seen - delta_t_max` has passed them.
+        `max_t_seen - delta_t_max` has passed them. The pending buffer is
+        kept sorted, so each batch costs one O(b log b) batch sort plus an
+        O(Q + b) merge memcpy — the amortized equivalent of the reference's
+        per-event BinaryHeap, instead of re-sorting the whole queue per
+        batch (quadratic-log over a stream).
         """
-        self._queue.append((events.x, events.y, events.c, events.d, events.t))
-        self._queue_max_t = max(self._queue_max_t, int(events.t.max()))
-        pending = EventArray.concatenate(
-            [EventArray(*chunk) for chunk in self._queue]
-        )
+        order = np.argsort(events.t, kind="stable")
+        batch = events[order]
+        held = self._pending
+        if held is None or len(held) == 0:
+            pending = batch
+        else:
+            # equal timestamps: held events arrived earlier and stay first
+            # (side="right"), preserving the stable arrival order
+            pos = np.searchsorted(held.t, batch.t, side="right")
+            m = len(held) + len(batch)
+            dest_new = pos + np.arange(len(batch))
+            mask = np.ones(m, dtype=bool)
+            mask[dest_new] = False
+
+            def merge(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+                out = np.empty(m, a.dtype)
+                out[mask] = a
+                out[dest_new] = b
+                return out
+
+            pending = EventArray(
+                merge(held.x, batch.x), merge(held.y, batch.y),
+                merge(held.c, batch.c), merge(held.d, batch.d),
+                merge(held.t, batch.t),
+            )
+        self._queue_max_t = max(self._queue_max_t, int(batch.t[-1]))
         threshold = self._queue_max_t - self.meta.delta_t_max
-        order = np.argsort(pending.t, kind="stable")
-        spending = pending[order]
-        release = spending.t < threshold
-        held = spending[~release]
-        self._queue = [(held.x, held.y, held.c, held.d, held.t)]
-        return spending[release]
+        k = int(np.searchsorted(pending.t, threshold, side="left"))
+        self._pending = pending[k:]
+        return pending[:k]
 
     # -- teardown --
 
@@ -245,10 +267,11 @@ class Encoder:
         self.output.flush()
 
     def close_writer(self) -> Optional[BinaryIO]:
-        if self.options.event_order == EventOrder.Interleaved and self._queue:
-            pending = EventArray.concatenate([EventArray(*c) for c in self._queue])
-            if len(pending):
-                order = np.argsort(pending.t, kind="stable")
-                self.output.ingest_event_array(pending[order])
-            self._queue = []
+        if (
+            self.options.event_order == EventOrder.Interleaved
+            and self._pending is not None
+            and len(self._pending)
+        ):
+            self.output.ingest_event_array(self._pending)  # already sorted
+            self._pending = None
         return self.output.close()

@@ -183,6 +183,38 @@ def test_interleaved_ordering(tmp_path):
     assert np.all(np.diff(got.t.astype(np.int64)) >= 0)
 
 
+def test_interleaved_large_stream_batched(tmp_path):
+    """A million-event interleaved stream across many batches stays globally
+    t-sorted and preserves arrival order at equal timestamps (the sorted
+    reorder buffer merges incrementally — no per-batch full re-sort)."""
+    meta = make_meta()
+    opts = EncoderOptions.default(meta.plane)
+    opts.event_order = EventOrder.Interleaved
+    path = tmp_path / "big.adder"
+    enc = Encoder.new_raw(meta, open(path, "wb"), opts)
+    rng = np.random.default_rng(11)
+    n_batches, b = 100, 10_000
+    total = n_batches * b
+    base = 0
+    for i in range(n_batches):
+        # timestamps advance with jitter bounded well inside delta_t_max
+        ts = (base + rng.integers(0, meta.delta_t_max, b)).astype(np.uint32)
+        # x encodes arrival index so equal-t stability is checkable
+        ev = EventArray(
+            (np.arange(i * b, (i + 1) * b) % 65536).astype(np.uint16),
+            np.zeros(b, np.uint16),
+            np.full(b, NO_CHANNEL, np.uint8),
+            np.ones(b, np.uint8),
+            ts,
+        )
+        enc.ingest_event_array(ev)
+        base += meta.delta_t_max // 4
+    enc.close_writer().close()
+    got = open_file_decoder(str(path)).digest_all()
+    assert len(got) == total
+    assert np.all(np.diff(got.t.astype(np.int64)) >= 0)
+
+
 # --- reference fixture compatibility ---
 
 
