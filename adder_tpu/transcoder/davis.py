@@ -102,8 +102,18 @@ class Davis:
         tps: int = 255_000_000,
         delta_t_max: Optional[int] = None,
         mode: TranscoderMode = TranscoderMode.RawDavis,
-        batched: bool = False,
+        batched: bool = True,
+        prefetch: bool = True,
     ):
+        if prefetch:
+            from .edi import ThreadedProvider
+
+            # P4: run the reconstructor/provider on a dedicated worker
+            # thread so host deblur overlaps device integration
+            # (ref: davis.rs:626-632). In-memory providers gain nothing
+            # but lose nothing; already-threaded ones are left alone.
+            if not isinstance(provider, ThreadedProvider):
+                provider = ThreadedProvider(provider)
         self.provider = provider
         self.mode = mode
         self.plane = provider.plane

@@ -91,11 +91,13 @@ def decode_events_np(buf: bytes) -> tuple:
 class Prophesee:
     """Prophesee RAW -> ADDER transcoder (ref: prophesee.rs:25-323).
 
-    `batched=True` routes integration through the dense device kernel
-    (ops/dvs_batch.py) instead of the scalar per-event oracle; per-pixel
-    event streams are bit-identical between the two paths."""
+    Integration runs through the batched dense device kernel by default
+    (ops/dvs_batch.py); `batched=False` opts into the scalar per-event
+    oracle (reference-shaped, orders of magnitude slower). Per-pixel event
+    streams are bit-identical between the two paths
+    (tests/test_dvs_batch.py)."""
 
-    def __init__(self, ref_time: int, input_path: str, batched: bool = False):
+    def __init__(self, ref_time: int, input_path: str, batched: bool = True):
         self.reader = open(input_path, "rb")
         _, _, _, (h, w) = parse_header(self.reader)
         plane = PlaneSize(w, h, 1)

@@ -135,7 +135,7 @@ def test_edi_optimize_c_finds_neighborhood():
     assert 0.1 < c_est < 0.4, c_est
 
 
-def _write_davis_fixture(path, W=64, H=48, c=0.2, n_frames=3):
+def _write_davis_fixture(path, W=64, H=48, c=0.2, n_frames=3, color=False):
     w = Aedat4Writer(path, W, H, compression=COMPRESSION_ZSTD)
     t0 = 1_000_000
     for i in range(n_frames):
@@ -145,11 +145,61 @@ def _write_davis_fixture(path, W=64, H=48, c=0.2, n_frames=3):
             (start + ev["t"]).astype(np.int64), ev["x"], ev["y"],
             (ev["p"] > 0).astype(np.int8),
         )
-        w.write_frame(
-            start + int(T) // 2, start, start + int(T),
-            np.clip(blurry, 0, 255).astype(np.uint8),
-        )
+        img = np.clip(blurry, 0, 255).astype(np.uint8)
+        if color:
+            img = np.repeat(img[..., None], 3, axis=2)  # gray BGR triplets
+        w.write_frame(start + int(T) // 2, start, start + int(T), img)
     w.close()
+
+
+def test_threaded_provider_overlaps_consumer():
+    """P4: the worker-thread provider overlaps production with consumption —
+    wall-clock for equal-cost producer/consumer stages approaches max(), not
+    sum() (ref: davis.rs:626-632 runs davis-edi-rs on its own thread)."""
+    import time
+
+    from adder_tpu.core.types import PlaneSize
+    from adder_tpu.transcoder.davis import DavisPacket
+    from adder_tpu.transcoder.edi import ThreadedProvider
+
+    N, STEP = 8, 0.05
+
+    class SlowProvider:
+        plane = PlaneSize(8, 8, 1)
+
+        def __iter__(self):
+            for i in range(N):
+                time.sleep(STEP)  # stands in for host deblur cost
+                yield DavisPacket(
+                    frame=np.zeros((8, 8), np.uint8),
+                    frame_start_us=i * 1000, frame_end_us=i * 1000 + 500,
+                    events=[],
+                )
+
+    t0 = time.perf_counter()
+    got = 0
+    for _ in ThreadedProvider(SlowProvider()):
+        time.sleep(STEP)  # stands in for device integration cost
+        got += 1
+    wall = time.perf_counter() - t0
+    assert got == N
+    serial = 2 * N * STEP
+    # generous margin for loaded CI hosts; an inline provider cannot go
+    # below `serial` at all
+    assert wall < serial * 0.8, (wall, serial)
+
+
+def test_edi_color_aps_frames(tmp_path):
+    """3-channel aedat4 APS frames must flow through the EDI reconstructor
+    as 2-D luma planes (regression: handle_color's (H, W, 1) output crashed
+    deblur's `H, W = shape` unpack)."""
+    fx = tmp_path / "davis_color.aedat4"
+    _write_davis_fixture(str(fx), n_frames=2, color=True)
+    pkts = list(edi.EdiReconstructor(str(fx)))
+    assert len(pkts) == 2
+    for pkt in pkts:
+        assert pkt.frame.ndim == 2
+        assert pkt.frame.shape == (48, 64)
 
 
 @pytest.mark.parametrize("batched", [False, True], ids=["oracle", "batched"])

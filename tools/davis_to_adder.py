@@ -38,8 +38,10 @@ def main() -> int:
         help="compressed entropy stage: reference-compatible addec or the"
         " TPU-friendly interleaved-rANS addrn",
     )
-    ap.add_argument("--batched", action="store_true",
-                    help="use the batched device integration path")
+    ap.add_argument("--batched", action=argparse.BooleanOptionalAction,
+                    default=True,
+                    help="batched device integration (default); "
+                         "--no-batched selects the scalar oracle")
     ap.add_argument("--no-prefetch", action="store_true",
                     help="run EDI inline instead of on a worker thread")
     args = ap.parse_args()

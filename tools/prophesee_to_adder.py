@@ -19,9 +19,9 @@ def main():
     p.add_argument("--crf", type=int, default=3)
     p.add_argument("--max-intervals", type=int, default=0)
     p.add_argument(
-        "--batched", action="store_true",
-        help="integrate on the dense device kernel (ops/dvs_batch.py) "
-             "instead of the scalar per-event oracle",
+        "--batched", action=argparse.BooleanOptionalAction, default=True,
+        help="integrate on the dense device kernel (ops/dvs_batch.py); "
+             "--no-batched selects the scalar per-event oracle",
     )
     args = p.parse_args()
 
