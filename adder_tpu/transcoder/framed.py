@@ -125,36 +125,60 @@ class FramedArray:
 
 
 class Framed(FramedArray):
-    """mp4/video-file framed source via cv2 (ref: framed.rs:42-122).
+    """mp4/video-file framed source (ref: framed.rs:42-122).
 
     Decodes the whole clip up front into the array-backed source. For long
     videos use `Framed.streaming` (lazy chunk decode).
+
+    `decoder` selects the decode stage: "ffmpeg" binds the system
+    libavcodec/libswscale (native/videodec.cpp) — the same libraries the
+    reference's video-rs wraps, so RGB24 bytes (and thus the transcoded
+    event stream) match the Rust implementation bit-exactly; "cv2" uses
+    OpenCV (its YUV->BGR arithmetic differs by +-1 on a few percent of
+    pixels); "auto" (default) prefers ffmpeg and falls back to cv2.
     """
 
     def __init__(self, input_path: str, color_input: bool, scale: float = 1.0,
-                 chunk_frames: int = 8, max_frames: Optional[int] = None):
-        import cv2
+                 chunk_frames: int = 8, max_frames: Optional[int] = None,
+                 decoder: str = "auto"):
+        from . import ffdec
 
-        cap = cv2.VideoCapture(str(input_path))
-        if not cap.isOpened():
-            raise SourceError(f"could not open {input_path}")
-        fps = cap.get(cv2.CAP_PROP_FPS) or 30.0
-        frames = []
-        while True:
-            ok, frame = cap.read()
-            if not ok:
-                break
-            if scale != 1.0:
-                h, w = frame.shape[:2]
-                frame = cv2.resize(
-                    frame,
-                    (int(w * scale), int(h * scale)),
-                    interpolation=cv2.INTER_AREA,
-                )
-            frames.append(handle_color(frame, color_input))
-            if max_frames is not None and len(frames) >= max_frames:
-                break
-        cap.release()
+        if decoder not in ("auto", "ffmpeg", "cv2"):
+            raise ValueError(f"unknown decoder {decoder!r}")
+        use_ffmpeg = decoder == "ffmpeg" or (
+            decoder == "auto" and ffdec.available()
+        )
+        if use_ffmpeg:
+            from ..utils.cv import handle_color_rgb_videors
+
+            rgb, fps = ffdec.decode_frames(
+                str(input_path), scale=scale, max_frames=max_frames
+            )
+            frames = [handle_color_rgb_videors(f, color_input) for f in rgb]
+            fps = fps or 30.0
+        else:
+            import cv2
+
+            cap = cv2.VideoCapture(str(input_path))
+            if not cap.isOpened():
+                raise SourceError(f"could not open {input_path}")
+            fps = cap.get(cv2.CAP_PROP_FPS) or 30.0
+            frames = []
+            while True:
+                ok, frame = cap.read()
+                if not ok:
+                    break
+                if scale != 1.0:
+                    h, w = frame.shape[:2]
+                    frame = cv2.resize(
+                        frame,
+                        (int(w * scale), int(h * scale)),
+                        interpolation=cv2.INTER_AREA,
+                    )
+                frames.append(handle_color(frame, color_input))
+                if max_frames is not None and len(frames) >= max_frames:
+                    break
+            cap.release()
         if not frames:
             raise SourceError(f"no frames decoded from {input_path}")
         super().__init__(
@@ -162,3 +186,4 @@ class Framed(FramedArray):
         )
         self.color_input = color_input
         self.scale = scale
+        self.decoder = "ffmpeg" if use_ffmpeg else "cv2"

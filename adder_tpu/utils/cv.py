@@ -137,6 +137,23 @@ def handle_color(frame_bgr: np.ndarray, color: bool) -> np.ndarray:
     return gray.astype(np.uint8)[..., None]
 
 
+def handle_color_rgb_videors(frame_rgb: np.ndarray, color: bool) -> np.ndarray:
+    """The framed-source conversion applied to frames already in video-rs
+    RGB order (the native ffmpeg decode path): coefficients
+    (0.114, 0.587, 0.299) land on channels (0, 1, 2) exactly as the
+    reference computes them (ref: cv.rs:215-232 via framed.rs:128), i.e.
+    the 0.114 weight on RED — truncating, not rounding. Color passthrough
+    keeps RGB (the reference's channel order for color transcodes)."""
+    if color:
+        return frame_rgb
+    gray = (
+        frame_rgb[..., 0].astype(np.float64) * 0.114
+        + frame_rgb[..., 1].astype(np.float64) * 0.587
+        + frame_rgb[..., 2].astype(np.float64) * 0.299
+    )
+    return gray.astype(np.uint8)[..., None]
+
+
 def handle_color_videors(frame_bgr: np.ndarray, color: bool) -> np.ndarray:
     """The framed-source conversion, reference-faithful to a quirk that is
     golden-pinned against the committed `lake_scaled_out`: the reference

@@ -6,23 +6,21 @@ Rust-produced `lake_scaled_out` golden.
 Reference config: mono, scale 1.0, ref_time 255, delta_t_max 6120, CRF 0,
 TimeMode::DeltaT, PixelMultiMode::Normal, thread_count 1, frame_idx_start 1.
 
-Two decode-layer facts (established empirically against the golden) shape
-what "match" can mean here:
+Decode-layer facts (established empirically against the golden):
 
 1. video-rs frame seek is KEYFRAME-granular: `frame_start(1)` lands on the
    next keyframe, which in the committed mp4 is frame 250 (stss box:
    keyframes at samples 1 and 251). The golden's frame 0 correlates 0.998
-   with source frame 250 and < 0.1 with frame 1. Our cv2-based source seeks
-   exactly, so the test passes frame_idx_start=250 directly.
-2. video-rs delivers RGB24 via swscale while cv2 delivers BGR; the two
-   differ by +-1 on ~2% of pixels (different integer rounding in the
-   YUV->RGB conversions; cv2 cannot expose the decoded chroma planes to
-   replicate swscale bit-exactly). Every residual output mismatch traces to
-   those +-1 source differences, so the assertion is a 95%-per-frame /
-   97%-overall byte-identity gate rather than cmp==0. Everything downstream
-   of the decoder (luma conversion, integration, event timing, framing,
-   intensity scaling) is exercised byte-exactly by this test: a single tick
-   or D error shifts whole reconstruction spans.
+   with source frame 250 and < 0.1 with frame 1. Our source decodes
+   sequentially and slices exactly, so the test passes frame_idx_start=250
+   directly.
+2. With the native ffmpeg decode path (transcoder/ffdec.py — the same
+   libavcodec/libswscale the reference's video-rs wraps) the ENTIRE
+   pipeline is byte-exact: `cmp == 0` against the committed golden, the
+   reference's own assertion. The cv2 fallback path differs from swscale
+   by +-1 on ~2% of decoded pixels (different YUV->RGB integer rounding),
+   so when ffmpeg libraries are absent the gate falls back to the
+   documented 95%-per-frame / 97%-overall byte-identity envelope.
 """
 
 import io
@@ -75,8 +73,16 @@ def test_lake_dark_golden():
     # prefix-compare like its cmp does
     assert len(out) >= len(golden), (len(out), len(golden))
     m = len(golden)
-    diff = out[:m].astype(np.int32) - golden[:m].astype(np.int32)
-    neq_total = int((diff != 0).sum())
-    assert neq_total <= 0.03 * m, f"{neq_total} of {m} bytes differ"
-    per_frame = (diff != 0).reshape(11, -1).sum(axis=1)
-    assert (per_frame <= 0.05 * 10000).all(), per_frame.tolist()
+    if proc.source.decoder == "ffmpeg":
+        # swscale-exact decode: the reference's own byte-exact gate
+        # (adder_simulproc.rs:238-262 `cmp` -> empty output)
+        assert bytes(out[:m]) == bytes(golden), (
+            f"{int((out[:m] != golden).sum())} of {m} bytes differ"
+        )
+    else:
+        # cv2 fallback: +-1 source-decode envelope (module docstring)
+        diff = out[:m].astype(np.int32) - golden[:m].astype(np.int32)
+        neq_total = int((diff != 0).sum())
+        assert neq_total <= 0.03 * m, f"{neq_total} of {m} bytes differ"
+        per_frame = (diff != 0).reshape(11, -1).sum(axis=1)
+        assert (per_frame <= 0.05 * 10000).all(), per_frame.tolist()
