@@ -50,6 +50,10 @@ _i32 = jnp.int32
 _f32 = jnp.float32
 _u32 = jnp.uint32
 
+class _SkipCore(Exception):
+    """debug_stage>=4 control flow: skip the interval core during trace."""
+
+
 def _bitcast_i32(x):
     return jax.lax.bitcast_convert_type(x, _i32)
 
@@ -217,7 +221,8 @@ def _kernel_body(p: ops.TranscodeParams, block: int, pack: int,
                  emit_running: bool = True):
     # debug_stage (profiling only; events are garbage for stage > 0):
     # 0 full | 1 skip log-shift passes | 2 also skip interleave | 3 also
-    # skip packing (interval core + DMA skeleton only)
+    # skip packing (interval core + DMA skeleton only) | 4 also skip the
+    # interval core (state copy-through: measures pure state r/w + DMA)
     B = block
     R = B * pack // 128
     SROWS = R + 1  # head row + event rows (logical)
@@ -284,8 +289,35 @@ def _kernel_body(p: ops.TranscodeParams, block: int, pack: int,
         SUB, LN = 8, B // 8
         r8 = lambda x: x.reshape(SUB, LN)
         r1 = lambda x: x.reshape(1, B)
-        numerics.IN_PALLAS = "interpret" if interpret else "mosaic"
+        if debug_stage >= 4:
+            # state copy-through: isolates state r/w + DMA skeleton cost
+            for k in range(depth):
+                o_nd[k : k + 1, :] = nd_ref[k : k + 1, :]
+                o_ni[k : k + 1, :] = ni_ref[k : k + 1, :]
+                o_ndt[k : k + 1, :] = ndt_ref[k : k + 1, :]
+                o_bd[k : k + 1, :] = bd_ref[k : k + 1, :]
+                o_bdt[k : k + 1, :] = bdt_ref[k : k + 1, :]
+            o_length[:] = length_ref[:]
+            o_base[:] = base_ref[:]
+            o_cth[:] = cth_ref[:]
+            o_cic[:] = cic_ref[:]
+            o_lft[:] = lft_ref[:]
+            o_rt[:] = rt_ref[:]
+            o_need[:] = need_ref[:]
+            o_dtm[:] = dtm_ref[:]
+            o_popped[:] = popped_ref[:]
+            o_run_val[:] = jnp.zeros((1, B), jnp.uint8)
+            o_run_has[:] = jnp.zeros((1, B), jnp.uint8)
+            z_i = jnp.zeros((SUB, LN), _i32)
+            slots = [(z_i, _bitcast_u32(z_i), z_i != 0)] * (depth + 3)
+            run_val = jnp.zeros((SUB, LN), jnp.uint8)
+            run_has = z_i != 0
+            depth_ovf = jnp.zeros((), _i32)
+        fences = numerics.pallas_fences("interpret" if interpret else "mosaic")
+        fences.__enter__()
         try:
+            if debug_stage >= 4:
+                raise _SkipCore
             s = ops._S()
             s.nd = [r8(nd_ref[k : k + 1, :]) for k in range(depth)]
             s.ni = [r8(ni_ref[k : k + 1, :]) for k in range(depth)]
@@ -328,8 +360,10 @@ def _kernel_body(p: ops.TranscodeParams, block: int, pack: int,
             o_run_val[:] = r1(run_val)
             o_run_has[:] = r1(run_has.astype(jnp.uint8))
             depth_ovf = s.overflow  # fires that found no free child node
+        except _SkipCore:
+            pass
         finally:
-            numerics.IN_PALLAS = False
+            fences.__exit__()
 
         # ---- event slots -> packed per-pixel lanes ----
         pix = b * B + (

@@ -1,0 +1,643 @@
+"""T-resident fused Pallas kernel: pixel state lives in VMEM across a chunk.
+
+Round-2 profiling (NOTES.md / round-3 stage profile) showed the fused
+kernel's cost is dominated by MEMORY MOVEMENT, not compute: at 1080p the
+interval state machine adds ~0.3 ms while state HBM round-trips + the DMA
+skeleton cost ~5.2 ms per interval, and the in-kernel pixel-major
+interleave + full-capacity compaction add another ~3.8 ms. Two structural
+changes eliminate most of that:
+
+1. **T-blocking**: the grid becomes (n_blocks, T) with the interval index
+   innermost. State block specs index only on the block coordinate, so
+   Pallas keeps each pixel block's state IN VMEM across all T intervals of
+   a chunk — state reads HBM once per chunk instead of once per interval
+   (16x less state traffic at the default chunk length). At t==0 the
+   kernel reads the state inputs; at t>0 it reads its own previous outputs
+   (the output block is VMEM-resident until the block index changes).
+
+2. **Per-slot event streams instead of the pixel-major interleave**: the
+   old kernel interleaved K packed lanes to pixel-major staging (a stacked
+   MXU matmul, ~2.3 ms) then log-shift-compacted a staging sized for the
+   worst case (B*pack slots, ~1.5 ms). Here each slot lane j is compacted
+   SEPARATELY: lane j of the block is already pixel-major flat order, so
+   it needs no interleave at all, and its staging is B/128 rows (pack
+   times smaller). Slot lanes j >= 1 are almost always empty (multi-event
+   pixels in one interval are rare) and their whole compact+DMA pass is
+   skipped via pl.when.
+
+The cost: the event buffer is filled in (block, interval, slot, pixel)
+order rather than the reference's (interval, block|pixel, slot) single
+-thread order. Per-(block, interval) event counts come back with the
+chunk, and `assemble_resident_events` restores the exact reference order
+on the host (segment-ordered memcpys; within a segment a stable
+sort-by-pixel is only needed when a multi-event pixel exists). Device
+consumers that sort events anyway (the device framer) can skip assembly.
+
+Ref for the semantics: adder-codec-rs/src/transcoder/source/video.rs:651-778
+(integrate_matrix) and event_pixel_tree.rs:317-479; order contract
+src/bin/adder_simulproc.rs:188.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from . import integrate as ops
+from . import numerics
+from .fused_kernel import (
+    _bitcast_i32,
+    _bitcast_u32,
+    _flat_shift_left,
+    _rank_exclusive,
+)
+
+DEPTH = ops.DEPTH
+K = ops.K_SLOTS
+
+_i32 = jnp.int32
+_f32 = jnp.float32
+_u32 = jnp.uint32
+_u8 = jnp.uint8
+
+
+def _kernel_body(p: ops.TranscodeParams, block: int, pack: int,
+                 rows_cap: int, n_real: int, interpret: bool,
+                 depth: int, emit_running: bool):
+    B = block
+    SUB, LN = 8, B // 8
+    JROWS = B // 128  # one lane per pixel per slot stream
+    SROWS = JROWS + 1  # head row + event rows
+    SROWS_PHYS = ((SROWS + 7) // 8) * 8  # DMA sublane-count constraint
+    NPASS = (SROWS * 128 - 1).bit_length()
+
+    def kernel(
+        time_ref, off_in_ref,  # SMEM (1,1) f32, (1,) i32
+        live_ref, frame_ref,  # VMEM (1, B) / (1, 1, B) u8
+        nd_ref, ni_ref, ndt_ref, bd_ref, bdt_ref,  # (depth, B)
+        length_ref, base_ref, cth_ref, cic_ref,  # (1, B) i32
+        lft_ref, rt_ref,  # (1, B) f32
+        need_ref, dtm_ref, popped_ref,  # (1, B) u8
+        bufp_in, buft_in,  # ANY (rows_cap, 128) u32, aliased to outputs
+        # outputs
+        o_nd, o_ni, o_ndt, o_bd, o_bdt,
+        o_length, o_base, o_cth, o_cic,
+        o_lft, o_rt, o_need, o_dtm, o_popped,
+        o_run_val, o_run_has,  # (1, B) u8 blocks of (T, n)
+        o_counts,  # (1, 128) i32 block of (n_blocks, 128)
+        o_bufp, o_buft,  # ANY aliased
+        o_off, o_pmax,  # SMEM (1,) i32
+        # scratch
+        stgp0, stgt0, stgp1, stgt1,  # VMEM (SROWS_PHYS, 128) u32
+        headp, headt,  # VMEM (1, 128) u32
+        carryp, carryt,  # VMEM (1, 128) u32
+        cntvec,  # VMEM (1, 128) i32
+        dma_cnt,  # SMEM (1,) i32: flushes issued so far
+        sem_out,  # DMA sems (2, 2)
+        sem_in,  # DMA sems (2,)
+    ):
+        i = pl.program_id(0)
+        t = pl.program_id(1)
+        nb = pl.num_programs(0)
+        nt = pl.num_programs(1)
+
+        @pl.when((i == 0) & (t == 0))
+        def _():
+            o_off[0] = off_in_ref[0]
+            o_pmax[0] = 0
+            dma_cnt[0] = 0
+            # head replay: the current partial output row (zeros on a
+            # fresh chunk)
+            row0 = jnp.minimum(off_in_ref[0] // 128, rows_cap - 1)
+            cp = pltpu.make_async_copy(
+                bufp_in.at[pl.ds(row0, 1)], headp, sem_in.at[0]
+            )
+            ct = pltpu.make_async_copy(
+                buft_in.at[pl.ds(row0, 1)], headt, sem_in.at[1]
+            )
+            cp.start()
+            ct.start()
+            cp.wait()
+            ct.wait()
+
+        at0 = t == 0
+        r8 = lambda x: x.reshape(SUB, LN)
+        r1 = lambda x: x.reshape(1, B)
+
+        # state source: the HBM inputs at t==0; this block's own previous
+        # outputs (VMEM-resident across the t axis) afterwards
+        def ldn(in_ref, out_ref, k):
+            return r8(jnp.where(at0, in_ref[k : k + 1, :], out_ref[k : k + 1, :]))
+
+        def ldf(in_ref, out_ref):
+            return r8(jnp.where(at0, in_ref[:], out_ref[:]))
+
+        fences = numerics.pallas_fences("interpret" if interpret else "mosaic")
+        fences.__enter__()
+        try:
+            s = ops._S()
+            s.nd = [ldn(nd_ref, o_nd, k) for k in range(depth)]
+            s.ni = [ldn(ni_ref, o_ni, k) for k in range(depth)]
+            s.ndt = [ldn(ndt_ref, o_ndt, k) for k in range(depth)]
+            s.bd = [ldn(bd_ref, o_bd, k) for k in range(depth)]
+            s.bdt = [ldn(bdt_ref, o_bdt, k) for k in range(depth)]
+            s.length = ldf(length_ref, o_length)
+            s.base_val = ldf(base_ref, o_base)
+            s.c_thresh = ldf(cth_ref, o_cth)
+            s.cic = ldf(cic_ref, o_cic)
+            s.lft = ldf(lft_ref, o_lft)
+            s.running_t = ldf(rt_ref, o_rt)
+            s.need_pop = ldf(need_ref, o_need) != 0
+            s.dtm_reached = ldf(dtm_ref, o_dtm) != 0
+            s.popped_dtm = ldf(popped_ref, o_popped) != 0
+            s.overflow = jnp.zeros((), _i32)
+
+            fv = r8(frame_ref[:]).astype(_i32)
+            intensity = fv.astype(_f32)
+            slots, (run_val, run_has) = ops._interval_core(
+                s, intensity, fv, time_ref[0, 0], p,
+                emit_running=emit_running,
+            )
+
+            for k in range(depth):
+                o_nd[k : k + 1, :] = r1(s.nd[k])
+                o_ni[k : k + 1, :] = r1(s.ni[k])
+                o_ndt[k : k + 1, :] = r1(s.ndt[k])
+                o_bd[k : k + 1, :] = r1(s.bd[k])
+                o_bdt[k : k + 1, :] = r1(s.bdt[k])
+            o_length[:] = r1(s.length)
+            o_base[:] = r1(s.base_val)
+            o_cth[:] = r1(s.c_thresh)
+            o_cic[:] = r1(s.cic)
+            o_lft[:] = r1(s.lft)
+            o_rt[:] = r1(s.running_t)
+            o_need[:] = r1(s.need_pop.astype(_u8))
+            o_dtm[:] = r1(s.dtm_reached.astype(_u8))
+            o_popped[:] = r1(s.popped_dtm.astype(_u8))
+            o_run_val[:] = run_val.reshape(1, 1, B)
+            o_run_has[:] = run_has.astype(_u8).reshape(1, 1, B)
+            depth_ovf = s.overflow
+        finally:
+            fences.__exit__()
+
+        # ---- event slots -> per-pixel left-packed lanes ----
+        pix = i * B + (
+            jax.lax.broadcasted_iota(_i32, (SUB, LN), 0) * LN
+            + jax.lax.broadcasted_iota(_i32, (SUB, LN), 1)
+        )
+        if n_real:
+            live = r8(live_ref[:]) != 0
+            slots = [(d, tt, m & live) for (d, tt, m) in slots]
+
+        pixd = [
+            ((pix << 8) | (d & 0xFF), _bitcast_i32(tt), m)
+            for (d, tt, m) in slots
+        ]
+        n_slots = len(pixd)
+        cnt = jnp.zeros((SUB, LN), _i32)
+        if pack < n_slots:
+            pd = [jnp.zeros((SUB, LN), _i32) for _ in range(pack)]
+            pt = [jnp.zeros((SUB, LN), _i32) for _ in range(pack)]
+            for pd_k, t_k, m_k in pixd:
+                for j in range(pack):
+                    place = m_k & (cnt == j)
+                    pd[j] = jnp.where(place, pd_k, pd[j])
+                    pt[j] = jnp.where(place, t_k, pt[j])
+                cnt = cnt + m_k.astype(_i32)
+            mw = (1 << jnp.minimum(cnt, pack)) - 1
+        else:
+            pd = [x[0] for x in pixd] + [
+                jnp.zeros((SUB, LN), _i32) for _ in range(pack - len(pixd))
+            ]
+            pt = [x[1] for x in pixd] + [
+                jnp.zeros((SUB, LN), _i32) for _ in range(pack - len(pixd))
+            ]
+            mw = jnp.zeros((SUB, LN), _i32)
+            for k, (_, _, m_k) in enumerate(pixd):
+                mw = mw | (m_k.astype(_i32) << k)
+                cnt = cnt + m_k.astype(_i32)
+
+        prev = o_pmax[0]
+        o_pmax[0] = (
+            jnp.maximum(prev & 0xFFFF, jnp.max(cnt))
+            | (prev & (1 << 16))
+            | jnp.where(depth_ovf > 0, 1 << 16, 0)
+        )
+
+        # ---- per-(block, interval) event count ----
+        valids = [((mw >> j) & 1) for j in range(pack)]
+        n_js = [jnp.sum(v) for v in valids]
+        n_tot = sum(n_js)
+        lane128 = jax.lax.broadcasted_iota(_i32, (1, 128), 1)
+        prevv = jnp.where(
+            at0, jnp.zeros((1, 128), _i32), cntvec[:]
+        )
+        vec = prevv + jnp.where(lane128 == t, n_tot, 0)
+        cntvec[:] = vec
+        o_counts[:] = vec.reshape(1, 1, 128)
+
+        # ---- per-slot-stream compaction + ordered DMA append ----
+        f_flat = (
+            jax.lax.broadcasted_iota(_i32, (JROWS, 128), 0) * 128
+            + jax.lax.broadcasted_iota(_i32, (JROWS, 128), 1)
+        )
+        lane1 = jax.lax.broadcasted_iota(_i32, (1, 128), 1)
+        total_sz = SROWS * 128
+        rowf = jax.lax.broadcasted_iota(_i32, (SROWS, 128), 0) * 128 + (
+            jax.lax.broadcasted_iota(_i32, (SROWS, 128), 1)
+        )
+
+        def do_flush(j, n_j, stg_p, stg_t, sems, other_p, other_t,
+                     other_sems):
+            off = o_off[0]
+            q = jax.lax.rem(off, 128)
+            fp = pd[j].reshape(JROWS, 128)
+            ft = pt[j].reshape(JROWS, 128)
+            fvalid = valids[j].reshape(JROWS, 128)
+            rank = _rank_exclusive(fvalid)
+            # staging position of source element = 128 + f (head first);
+            # destination = q + rank; distance non-negative and monotone
+            dist_ev = 128 + f_flat - q - rank
+
+            first_dma = dma_cnt[0] == 0
+            hp = jnp.where(
+                first_dma, _bitcast_i32(headp[:]), _bitcast_i32(carryp[:])
+            )
+            ht = jnp.where(
+                first_dma, _bitcast_i32(headt[:]), _bitcast_i32(carryt[:])
+            )
+            hv = (lane1 < q).astype(_i32)
+
+            cp = jnp.concatenate([hp, fp], axis=0)  # (SROWS, 128)
+            ct_ = jnp.concatenate([ht, ft], axis=0)
+            cd = jnp.concatenate([jnp.zeros((1, 128), _i32), dist_ev], axis=0)
+            cv = jnp.concatenate([hv, fvalid], axis=0)
+
+            for bi in range(NPASS):
+                step = 1 << bi
+                sp = _flat_shift_left(cp, step)
+                st = _flat_shift_left(ct_, step)
+                sd = _flat_shift_left(cd, step)
+                sv = jnp.where(
+                    rowf < total_sz - step, _flat_shift_left(cv, step), 0
+                )
+                take = (sv != 0) & (((sd >> bi) & 1) != 0)
+                stay = (cv != 0) & (((cd >> bi) & 1) == 0)
+                cp = jnp.where(take, sp, cp)
+                ct_ = jnp.where(take, st, ct_)
+                cd = jnp.where(take, sd - step, cd)
+                cv = (take | stay).astype(_i32)
+
+            end = q + n_j
+            last_row = end // 128  # < SROWS
+            row0c = jnp.minimum(off // 128, rows_cap - SROWS_PHYS)
+
+            stg_p[:SROWS] = _bitcast_u32(cp)
+            stg_t[:SROWS] = _bitcast_u32(ct_)
+            carryp[:] = stg_p[pl.ds(last_row, 1), :]
+            carryt[:] = stg_t[pl.ds(last_row, 1), :]
+
+            # overlapping tail rewrite requires strict DMA ordering: wait
+            # for the previous flush (the other buffer) before issuing
+            @pl.when(jnp.logical_not(first_dma))
+            def _():
+                pltpu.make_async_copy(
+                    other_p, o_bufp.at[pl.ds(row0c, SROWS_PHYS)],
+                    other_sems[0],
+                ).wait()
+                pltpu.make_async_copy(
+                    other_t, o_buft.at[pl.ds(row0c, SROWS_PHYS)],
+                    other_sems[1],
+                ).wait()
+
+            pltpu.make_async_copy(
+                stg_p, o_bufp.at[pl.ds(row0c, SROWS_PHYS)], sems[0]
+            ).start()
+            pltpu.make_async_copy(
+                stg_t, o_buft.at[pl.ds(row0c, SROWS_PHYS)], sems[1]
+            ).start()
+
+            o_off[0] = off + n_j
+            dma_cnt[0] = dma_cnt[0] + 1
+
+        for j in range(pack):
+            par = jax.lax.rem(dma_cnt[0], 2)
+            go = n_js[j] > 0
+
+            @pl.when(go & (par == 0))
+            def _(j=j):
+                do_flush(
+                    j, n_js[j], stgp0, stgt0,
+                    (sem_out.at[0, 0], sem_out.at[0, 1]),
+                    stgp1, stgt1,
+                    (sem_out.at[1, 0], sem_out.at[1, 1]),
+                )
+
+            @pl.when(go & (par == 1))
+            def _(j=j):
+                do_flush(
+                    j, n_js[j], stgp1, stgt1,
+                    (sem_out.at[1, 0], sem_out.at[1, 1]),
+                    stgp0, stgt0,
+                    (sem_out.at[0, 0], sem_out.at[0, 1]),
+                )
+
+        # ---- end-of-grid drain: only the final flush is outstanding ----
+        @pl.when((i == nb - 1) & (t == nt - 1) & (dma_cnt[0] > 0))
+        def _():
+            lastpar = jax.lax.rem(dma_cnt[0] - 1, 2)
+
+            @pl.when(lastpar == 0)
+            def _():
+                pltpu.make_async_copy(
+                    stgp0, o_bufp.at[pl.ds(0, SROWS_PHYS)], sem_out.at[0, 0]
+                ).wait()
+                pltpu.make_async_copy(
+                    stgt0, o_buft.at[pl.ds(0, SROWS_PHYS)], sem_out.at[0, 1]
+                ).wait()
+
+            @pl.when(lastpar == 1)
+            def _():
+                pltpu.make_async_copy(
+                    stgp1, o_bufp.at[pl.ds(0, SROWS_PHYS)], sem_out.at[1, 0]
+                ).wait()
+                pltpu.make_async_copy(
+                    stgt1, o_buft.at[pl.ds(0, SROWS_PHYS)], sem_out.at[1, 1]
+                ).wait()
+
+    return kernel
+
+
+@functools.lru_cache(maxsize=32)
+def make_resident_call(
+    p: ops.TranscodeParams,
+    n: int,
+    rows_cap: int,
+    T: int,
+    block: int = 4096,
+    pack: int = 4,
+    n_real: int = 0,
+    interpret: bool = False,
+    depth: int = DEPTH,
+    emit_running: bool = True,
+):
+    """Build the T-resident chunk kernel call for an N-pixel plane.
+
+    Signature: (state, frames (T, n) u8, time f32, bufp, buft, offset) ->
+    (state, bufp, buft, off, pmax, counts (n_blocks, 128) i32,
+    run_val (T, n) u8, run_has (T, n) u8).
+
+    Events land in bufp/buft at [offset, off) in (block, interval, slot,
+    pixel) order; counts[i, t] is block i's event count in interval t
+    (see assemble_resident_events)."""
+    assert n % block == 0, (n, block)
+    assert block % 128 == 0 and block % 8 == 0
+    assert T <= 128, "counts vector holds one lane per interval"
+    n_blocks = n // block
+    grid = (n_blocks, T)
+    B = block
+    SROWS_PHYS = ((B // 128 + 1 + 7) // 8) * 8
+
+    def depth_spec():
+        return pl.BlockSpec(
+            (depth, B), lambda i, t: (0, i), memory_space=pltpu.VMEM
+        )
+
+    def flat_spec():
+        return pl.BlockSpec(
+            (1, B), lambda i, t: (0, i), memory_space=pltpu.VMEM
+        )
+
+    def tflat_spec():
+        # (T, 1, n) arrays with (1, 1, B) blocks: Mosaic requires the last
+        # two block dims divisible by (8, 128) or equal to the array dims,
+        # so the T axis must sit in a leading position
+        return pl.BlockSpec(
+            (1, 1, B), lambda i, t: (t, 0, i), memory_space=pltpu.VMEM
+        )
+
+    in_specs = [
+        pl.BlockSpec((1, 1), lambda i, t: (0, 0), memory_space=pltpu.SMEM),
+        pl.BlockSpec(memory_space=pltpu.SMEM),  # offset_in
+        flat_spec(),  # live
+        tflat_spec(),  # frames (T, n)
+        depth_spec(), depth_spec(), depth_spec(), depth_spec(), depth_spec(),
+        flat_spec(), flat_spec(), flat_spec(), flat_spec(),
+        flat_spec(), flat_spec(),
+        flat_spec(), flat_spec(), flat_spec(),
+        pl.BlockSpec(memory_space=pl.ANY),  # bufp
+        pl.BlockSpec(memory_space=pl.ANY),  # buft
+    ]
+    out_specs = (
+        depth_spec(), depth_spec(), depth_spec(), depth_spec(), depth_spec(),
+        flat_spec(), flat_spec(), flat_spec(), flat_spec(),
+        flat_spec(), flat_spec(), flat_spec(), flat_spec(), flat_spec(),
+        tflat_spec(), tflat_spec(),  # run_val, run_has (T, n)
+        pl.BlockSpec(
+            (1, 1, 128), lambda i, t: (i, 0, 0), memory_space=pltpu.VMEM
+        ),  # counts
+        pl.BlockSpec(memory_space=pl.ANY),  # bufp
+        pl.BlockSpec(memory_space=pl.ANY),  # buft
+        pl.BlockSpec(memory_space=pltpu.SMEM),  # offset_out
+        pl.BlockSpec(memory_space=pltpu.SMEM),  # pack_max
+    )
+    out_shape = (
+        jax.ShapeDtypeStruct((depth, n), _i32),
+        jax.ShapeDtypeStruct((depth, n), _f32),
+        jax.ShapeDtypeStruct((depth, n), _f32),
+        jax.ShapeDtypeStruct((depth, n), _i32),
+        jax.ShapeDtypeStruct((depth, n), _f32),
+        jax.ShapeDtypeStruct((1, n), _i32),
+        jax.ShapeDtypeStruct((1, n), _i32),
+        jax.ShapeDtypeStruct((1, n), _i32),
+        jax.ShapeDtypeStruct((1, n), _i32),
+        jax.ShapeDtypeStruct((1, n), _f32),
+        jax.ShapeDtypeStruct((1, n), _f32),
+        jax.ShapeDtypeStruct((1, n), _u8),
+        jax.ShapeDtypeStruct((1, n), _u8),
+        jax.ShapeDtypeStruct((1, n), _u8),
+        jax.ShapeDtypeStruct((T, 1, n), _u8),
+        jax.ShapeDtypeStruct((T, 1, n), _u8),
+        jax.ShapeDtypeStruct((n_blocks, 1, 128), _i32),
+        jax.ShapeDtypeStruct((rows_cap, 128), _u32),
+        jax.ShapeDtypeStruct((rows_cap, 128), _u32),
+        jax.ShapeDtypeStruct((1,), _i32),
+        jax.ShapeDtypeStruct((1,), _i32),
+    )
+    scratch_shapes = [
+        pltpu.VMEM((SROWS_PHYS, 128), _u32), pltpu.VMEM((SROWS_PHYS, 128), _u32),
+        pltpu.VMEM((SROWS_PHYS, 128), _u32), pltpu.VMEM((SROWS_PHYS, 128), _u32),
+        pltpu.VMEM((1, 128), _u32), pltpu.VMEM((1, 128), _u32),
+        pltpu.VMEM((1, 128), _u32), pltpu.VMEM((1, 128), _u32),
+        pltpu.VMEM((1, 128), _i32),
+        pltpu.SMEM((1,), _i32),
+        pltpu.SemaphoreType.DMA((2, 2)),
+        pltpu.SemaphoreType.DMA((2,)),
+    ]
+
+    call = pl.pallas_call(
+        _kernel_body(p, block, pack, rows_cap, n_real, interpret,
+                     depth, emit_running),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=0,
+            grid=grid,
+            in_specs=in_specs,
+            out_specs=out_specs,
+            scratch_shapes=scratch_shapes,
+        ),
+        out_shape=out_shape,
+        input_output_aliases={18: 17, 19: 18},
+        interpret=interpret,
+    )
+
+    live_np = (np.arange(n) < (n_real or n)).astype(np.uint8).reshape(1, n)
+
+    def step(state: ops.PixelState, frames, time, bufp, buft, offset):
+        time2d = jnp.asarray(time, _f32).reshape(1, 1)
+        off1 = jnp.asarray(offset, _i32).reshape(1)
+        outs = call(
+            time2d, off1, jnp.asarray(live_np),
+            frames.reshape(T, 1, n),
+            state.node_d, state.node_integ, state.node_dt,
+            state.best_d, state.best_dt,
+            state.length.reshape(1, n).astype(_i32),
+            state.base_val.reshape(1, n),
+            state.c_thresh.reshape(1, n),
+            state.c_increase_counter.reshape(1, n),
+            state.last_fired_t.reshape(1, n),
+            state.running_t.reshape(1, n),
+            state.need_pop.reshape(1, n).astype(_u8),
+            state.dtm_reached.reshape(1, n).astype(_u8),
+            state.popped_dtm.reshape(1, n).astype(_u8),
+            bufp, buft,
+        )
+        (
+            nd, ni, ndt, bd, bdt, length, base, cth, cic, lft, rt,
+            need, dtm, popped, run_val, run_has, counts,
+            bufp, buft, off_out, pmax,
+        ) = outs
+        new_state = ops.PixelState(
+            node_d=nd, node_integ=ni, node_dt=ndt, best_d=bd, best_dt=bdt,
+            length=length.reshape(n), base_val=base.reshape(n),
+            c_thresh=cth.reshape(n), c_increase_counter=cic.reshape(n),
+            last_fired_t=lft.reshape(n), running_t=rt.reshape(n),
+            need_pop=need.reshape(n) != 0,
+            dtm_reached=dtm.reshape(n) != 0,
+            popped_dtm=popped.reshape(n) != 0,
+            overflow=state.overflow,
+        )
+        return (
+            new_state, bufp, buft, off_out[0], pmax[0],
+            counts.reshape(-1, 128),
+            run_val.reshape(T, n), run_has.reshape(T, n),
+        )
+
+    return step
+
+
+@functools.lru_cache(maxsize=64)
+def make_fused_chunk_resident(
+    p: ops.TranscodeParams,
+    event_cap: int,
+    pack: int = 4,
+    pallas_block: int = 4096,
+    n_real: int = 0,
+    interpret: bool = False,
+    depth: int = DEPTH,
+    emit_running: bool = True,
+):
+    """T-resident variant of ops.make_fused_chunk: one pallas_call per
+    chunk, state VMEM-resident across the chunk's intervals.
+
+    Signature matches make_fused_chunk plus a trailing `counts`
+    (n_blocks, T) i32 output:
+    (state, frames (T, N) u8, time f32, run0 (N,) u8) ->
+    (state, ev_pixd, ev_t, ev_t16, t_base, t16_ok, total, per_interval,
+    runnings, pack_max, counts).
+
+    The event buffer prefix [0, total) is in (block, interval, slot,
+    pixel) order — run it through `assemble_resident_events(pixd, t,
+    counts)` on the host to recover the reference single-thread order.
+    Overflow semantics match make_fused_chunk (total > event_cap, and
+    pack_max's low 16 bits / bit 16 for slot and arena-depth overflow)."""
+    srows_phys = ((pallas_block // 128 + 1 + 7) // 8) * 8
+    rows_cap = -(-event_cap // 128) + srows_phys
+
+    def chunk_fn(state, frames, time, run0):
+        T, n = frames.shape
+        fstep = make_resident_call(
+            p, n, rows_cap, T, pallas_block, pack, n_real, interpret,
+            depth=depth, emit_running=emit_running,
+        )
+        bufp0 = jnp.zeros((rows_cap, 128), _u32)
+        buft0 = jnp.zeros((rows_cap, 128), _u32)
+        (
+            state, bufp, buft, total, pmax, counts, run_val, run_has,
+        ) = fstep(state, frames, time, bufp0, buft0, jnp.zeros((), _i32))
+        counts = counts[:, :T]  # (n_blocks, T)
+        per_interval = counts.sum(axis=0)
+
+        def rstep(run, xs):
+            rv, rh = xs
+            run = jnp.where(rh != 0, rv, run)
+            return run, run
+
+        _, runnings = jax.lax.scan(rstep, run0, (run_val, run_has))
+
+        buf_pixd = bufp.reshape(-1)[:event_cap]
+        buf_t = buft.reshape(-1)[:event_cap]
+        buf_t16, t_base, t16_ok = ops._finish_chunk(
+            buf_pixd, buf_t, total, event_cap
+        )
+        return (
+            state, buf_pixd, buf_t, buf_t16, t_base, t16_ok, total,
+            per_interval, runnings, pmax, counts,
+        )
+
+    return jax.jit(chunk_fn)
+
+
+def assemble_resident_events(pixd: np.ndarray, t, counts: np.ndarray):
+    """Host assembly: (block, interval, slot, pixel)-ordered buffer prefix ->
+    the reference single-thread order (interval, then raster pixel, then
+    slot).
+
+    pixd/t: fetched buffer prefixes (total,) — pixd may be u32 wire-packed
+    (pix << 8 | d). t may be None (pixd-only callers). counts: (n_blocks,
+    T) i32. Within one (block, interval) segment events arrive as
+    concatenated slot streams, each pixel-ascending; a stable sort by
+    pixel is needed only when some pixel emitted more than one event in
+    that interval (detected per segment)."""
+    counts = np.asarray(counts)
+    n_blocks, T = counts.shape
+    flat = counts.reshape(-1)  # produced (block-major) order
+    ends = np.cumsum(flat)
+    starts = ends - flat
+    parts_p = []
+    parts_t = []
+    for tt in range(T):
+        for i in range(n_blocks):
+            s = i * T + tt
+            a, b = int(starts[s]), int(ends[s])
+            if a == b:
+                continue
+            seg_p = pixd[a:b]
+            seg_t = None if t is None else t[a:b]
+            pixs = (seg_p >> 8).astype(np.int64)
+            if np.any(np.diff(pixs) < 0):
+                o = np.argsort(pixs, kind="stable")
+                seg_p = seg_p[o]
+                if seg_t is not None:
+                    seg_t = seg_t[o]
+            parts_p.append(seg_p)
+            parts_t.append(seg_t)
+    if not parts_p:
+        return pixd[:0], (None if t is None else t[:0])
+    out_p = np.concatenate(parts_p)
+    out_t = None if t is None else np.concatenate(parts_t)
+    return out_p, out_t

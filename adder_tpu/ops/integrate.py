@@ -245,14 +245,14 @@ def _fence(x: jax.Array) -> jax.Array:
 
 def _u32_to_f32(x: jax.Array) -> jax.Array:
     """u32 -> f32 (values < 2^31; Mosaic lacks the direct cast)."""
-    if numerics.IN_PALLAS:
+    if numerics.fence_mode():
         return jax.lax.bitcast_convert_type(x, _i32).astype(_f32)
     return x.astype(_f32)
 
 
 def _as_u32(x: jax.Array) -> jax.Array:
     """Rust `f32 as u32`: truncate toward zero, saturating, NaN -> 0."""
-    if numerics.IN_PALLAS:
+    if numerics.fence_mode():
         x = jnp.nan_to_num(x, nan=0.0, posinf=2147483520.0, neginf=0.0)
         x = jnp.clip(x, 0.0, 2147483520.0)  # largest f32 below 2^31
         return jax.lax.bitcast_convert_type(x.astype(_i32), _u32)
@@ -792,6 +792,7 @@ def make_fused_chunk(
     interpret: bool = False,
     depth: int = DEPTH,
     emit_running: bool = True,
+    debug_stage: int = 0,
 ):
     """Chunk scan over the fused interval+compaction kernel
     (ops/fused_kernel.py): events are compacted *inside* the Pallas kernel
@@ -812,7 +813,7 @@ def make_fused_chunk(
         n = frames.shape[1]
         fstep = fused_kernel.make_fused_interval(
             p, n, rows_cap, pallas_block, pack, n_real, interpret,
-            depth=depth, emit_running=emit_running,
+            debug_stage=debug_stage, depth=depth, emit_running=emit_running,
         )
 
         def step(carry, frame_u8):

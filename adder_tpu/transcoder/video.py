@@ -102,6 +102,13 @@ class Video:
         self._fused = use_pallas
         if os.environ.get("ADDER_TPU_FUSED") == "0":
             self._fused = False
+        # T-resident fused variant (ops/fused_resident.py): state stays in
+        # VMEM across the chunk's intervals and per-slot event streams skip
+        # the in-kernel interleave; events come back block-major and are
+        # reassembled to reference order on the host during collect
+        self._resident = self._fused and (
+            os.environ.get("ADDER_TPU_RESIDENT") != "0"
+        )
         # shallow arenas on the FUSED path only (the non-fused Pallas
         # kernel and XLA path run depth-8 state; only the fused kernel
         # detects depth overflow and falls back to the deep graph)
@@ -309,14 +316,21 @@ class Video:
     def _chunk_fn(self, cap: int, pack: int = 4):
         n_real = self.n if self.n_state != self.n else 0
         if self._fused:
+            # the display-intensity conversion (an exact-rounded divide
+            # per pixel) is skipped when nothing reads it
+            emit_running = bool(
+                self.feature_detection or self._keep_running_frame
+            )
+            if self._resident:
+                from ..ops import fused_resident
+
+                return fused_resident.make_fused_chunk_resident(
+                    self._params(), cap, pack, self._pallas_block, n_real,
+                    depth=self._depth, emit_running=emit_running,
+                )
             return ops.make_fused_chunk(
                 self._params(), cap, pack, self._pallas_block, n_real,
-                depth=self._depth,
-                # the display-intensity conversion (an exact-rounded divide
-                # per pixel) is skipped when nothing reads it
-                emit_running=bool(
-                    self.feature_detection or self._keep_running_frame
-                ),
+                depth=self._depth, emit_running=emit_running,
             )
         return ops.make_transcode_chunk(
             self._params(), cap, pack, self._pallas_block, n_real
@@ -475,8 +489,9 @@ class Video:
         while True:
             (
                 new_state, pixd, tt, t16, t_base, t16_ok, total, per_int,
-                runnings, pack_max,
+                runnings, pack_max, *rest,
             ) = outs
+            counts = rest[0] if rest else None  # resident path: (blocks, T)
             # one host round-trip for all control scalars (the link has
             # high per-transfer latency; batching matters more than size)
             with tracing.stage("video.collect.control_fetch"):
@@ -556,11 +571,23 @@ class Video:
         with tracing.stage("video.collect.event_fetch", items=total_i):
             if bool(t16_ok_b):
                 # 6-byte wire path: u16 timestamps relative to the chunk base
-                pixd_h, t16_h = jax.device_get((pixd[:total_i], t16[:total_i]))
+                pixd_h, t16_h, counts_h = jax.device_get(
+                    (pixd[:total_i], t16[:total_i], counts)
+                )
                 t_host = t16_h.astype(np.uint32) + np.uint32(int(t_base_i))
             else:
-                pixd_h, t_host = jax.device_get((pixd[:total_i], tt[:total_i]))
+                pixd_h, t_host, counts_h = jax.device_get(
+                    (pixd[:total_i], tt[:total_i], counts)
+                )
         pixd = np.asarray(pixd_h)
+        if counts_h is not None:
+            # resident kernel: block-major buffer -> reference order
+            from ..ops.fused_resident import assemble_resident_events
+
+            with tracing.stage("video.collect.assemble", items=total_i):
+                pixd, t_host = assemble_resident_events(
+                    pixd, np.asarray(t_host), counts_h
+                )
         pix = (pixd >> 8).astype(np.int64)
         d = (pixd & 0xFF).astype(np.uint8)
         events = self._events_from_flat(pix, d, t_host)
