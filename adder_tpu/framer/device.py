@@ -18,10 +18,12 @@ through the same vectorized f64 `get_frame_values` path as the host framer,
 so output bytes are identical by construction — no f32-vs-f64 divergence
 on device.
 
-Scope: AbsoluteT (codec v2+) and DeltaT streams; DeltaT chains are u32 on
-device (x64 is off under jit), so streams whose cumulative tick count
-passes 2^31 raise OverflowError — reconstruct those on the host framer.
-Coordless output stays host-side.
+Scope: AbsoluteT (codec v2+) and DeltaT streams, all view modes
+(Intensity/D/DeltaT/SAE) plus EventCoordless output (the window already
+holds the (d, delta-t) pair; coordless just skips value conversion and
+packs it into u64 on pop). DeltaT chains are u32 on device (x64 is off
+under jit), so streams whose cumulative tick count passes 2^31 raise
+OverflowError — reconstruct those on the host framer.
 """
 
 from __future__ import annotations
@@ -48,6 +50,7 @@ def _make_batch_step(
     framed_round: bool,
     max_span: int,
     absolute: bool = True,
+    chain_payload: bool = False,
 ):
     import jax
     import jax.numpy as jnp
@@ -112,7 +115,9 @@ def _make_batch_step(
             incl_rt = running_ts[gpix] + incl_sum  # carry update value
             keep = valid
             v = base_chain + t
-            dt_for_value = t
+            # SAE on DeltaT streams displays the chain value itself
+            # (host: sae_running_t=v, sae_last_fired_t=0)
+            dt_for_value = v if chain_payload else t
 
         # frame index: (running_ts.saturating_sub(1)) / tpf
         f_idx = (
@@ -214,10 +219,6 @@ class DeviceFramer:
 
     def __init__(self, b: FramerBuilder, batch_cap: int = 1 << 17,
                  window: Optional[int] = None):
-        if b.coordless:
-            raise ValueError("coordless output stays on the host framer")
-        if b.view_mode == FramedViewMode.SAE:
-            raise ValueError("SAE view needs running-t state; host framer")
         import jax.numpy as jnp
 
         self._absolute = (
@@ -227,7 +228,10 @@ class DeviceFramer:
         self.b = b
         self.plane = b.plane
         self.n = b.plane.volume()
-        self.out_dtype = np.dtype(b.out_dtype)
+        self.coordless = b.coordless
+        self.out_dtype = (
+            np.dtype(np.uint64) if b.coordless else np.dtype(b.out_dtype)
+        )
         self.tpf = int(b.tps / b.output_fps) if b.output_fps else b.ref_interval
         self.ref_interval = b.ref_interval
         self.delta_t_max = b.delta_t_max
@@ -235,6 +239,13 @@ class DeviceFramer:
         self.source = b.source
         self._framed_round = b.codec_version >= 1 and is_framed(
             b.source_camera
+        )
+        # SAE on DeltaT streams needs the chain value as payload; on
+        # AbsoluteT the standard (t - prev_chain) payload IS the SAE diff
+        self._sae_chain = (
+            self.view_mode == FramedViewMode.SAE
+            and not self._absolute
+            and not self.coordless
         )
         self.max_span = max(self.delta_t_max // max(self.tpf, 1) + 2, 4)
         self.window = window or max(2 * self.max_span, 64)
@@ -244,9 +255,19 @@ class DeviceFramer:
         n, F = self.n, self.window
         self.running_ts = jnp.zeros(n + 1, jnp.uint32)
         self.last_filled = jnp.full(n + 1, -1, jnp.int32)
-        # d > 128 maps to intensity 0, matching the host framer's
-        # zero-initialized last_intensity for never-filled pixels
-        self.li_d = jnp.full(n + 1, 255, jnp.int32)
+        # never-filled pixels must convert to the host framer's
+        # zero-initialized last_intensity: d=255 maps to intensity 0 in the
+        # Intensity view, while the D view and coordless packing read d
+        # directly and need a literal 0 payload (DeltaT/SAE read only dt)
+        init_d = (
+            255
+            if (
+                self.view_mode == FramedViewMode.Intensity
+                and not self.coordless
+            )
+            else 0
+        )
+        self.li_d = jnp.full(n + 1, init_d, jnp.int32)
         self.li_dt = jnp.zeros(n + 1, jnp.uint32)
         self.win_d = jnp.zeros((F, n), jnp.int32)
         self.win_dt = jnp.zeros((F, n), jnp.uint32)
@@ -276,7 +297,7 @@ class DeviceFramer:
         step = _make_batch_step(
             self.n, self.batch_cap, self.window, self.tpf,
             self.ref_interval, self._framed_round, self.max_span,
-            self._absolute,
+            self._absolute, self._sae_chain,
         )
         i = 0
         m = len(events)
@@ -316,6 +337,19 @@ class DeviceFramer:
         return int(self._counts[self.frames_written % self.window]) >= self.n
 
     def _values_for(self, dd: np.ndarray, dtt: np.ndarray) -> np.ndarray:
+        if self.coordless:
+            # EventCoordless passthrough: (d, delta-t) packed into u64
+            # (the device window already holds exactly that pair)
+            return (dd.astype(np.uint64) << 32) | dtt.astype(np.uint64)
+        if self.view_mode == FramedViewMode.SAE:
+            # the stored payload is the SAE diff (see _sae_chain note)
+            return get_frame_values(
+                dd.astype(np.int64), dtt.astype(np.uint64), self.out_dtype,
+                self.source, float(self.ref_interval),
+                self._practical_d_max, self.delta_t_max, self.view_mode,
+                sae_running_t=dtt.astype(np.uint64),
+                sae_last_fired_t=np.zeros(len(dtt), np.uint64),
+            )
         return get_frame_values(
             dd.astype(np.int64), dtt.astype(np.uint64), self.out_dtype,
             self.source, float(self.ref_interval), self._practical_d_max,

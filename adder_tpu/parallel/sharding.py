@@ -26,7 +26,11 @@ def _get_shard_map():
         return sm
     from jax.experimental.shard_map import shard_map
 
-    return shard_map
+    def compat(f=None, *, check_vma=True, **kw):
+        # the experimental module spells check_vma as check_rep
+        return shard_map(f, check_rep=check_vma, **kw)
+
+    return compat
 
 
 def make_mesh(devices=None, axis_name: str = "px") -> Mesh:
@@ -161,7 +165,7 @@ def make_fused_chunk_sharded(
             P(axis_name), P(axis_name, None), P(axis_name),
             P(None, axis_name),
         ),
-        check_rep=False,
+        check_vma=False,  # jax.shard_map's rename of check_rep
     )
     return jax.jit(fn)
 

@@ -99,6 +99,48 @@ def test_device_matches_host_random(version, time_mode):
         np.testing.assert_array_equal(df, hf, err_msg=f"frame {i}")
 
 
+@pytest.mark.parametrize(
+    "version,time_mode",
+    [(2, TimeMode.AbsoluteT), (0, TimeMode.DeltaT)],
+    ids=["absolute", "delta"],
+)
+@pytest.mark.parametrize("view", ["D", "DeltaT", "SAE", "coordless"])
+def test_device_matches_host_views(view, version, time_mode):
+    """SAE / D / DeltaT view modes and EventCoordless output on the device
+    framer match the host framer byte-for-byte (ref: scale_intensity.rs
+    FrameValue impls; driver.rs:1017-1043)."""
+    from adder_tpu.framer.scale_intensity import FramedViewMode
+
+    plane = PlaneSize(16, 12, 1)
+    tps, ref, dtm = 60_000, 1000, 8000
+    absolute = time_mode == TimeMode.AbsoluteT
+    b = _builder(
+        plane, tps, ref, dtm, 60.0, version, time_mode,
+        SourceCamera.FramedU8,
+    )
+    if view == "coordless":
+        b.coordless = True
+    else:
+        b.view_mode = FramedViewMode[view]
+    ev = _random_events(plane, 5, dtm, 9, absolute)
+
+    host = b.finish()
+    host.ingest_event_array(ev)
+    dev = DeviceFramer(b, batch_cap=512)
+    dev.ingest_event_array(ev)
+
+    host_frames = []
+    while host.is_frame_0_filled():
+        vals, _ = host.pop_next_frame()
+        host_frames.append(vals)
+    dev_frames = []
+    while dev.is_frame_0_filled():
+        dev_frames.append(dev.pop_next_frame())
+    assert len(dev_frames) == len(host_frames) and dev_frames
+    for i, (df, hf) in enumerate(zip(dev_frames, host_frames)):
+        np.testing.assert_array_equal(df, hf, err_msg=f"frame {i}")
+
+
 @pytest.mark.slow
 @pytest.mark.parametrize("name", ["sample_3_ordered.adder"])
 def test_sample_3_golden_device(samples_dir, name):
