@@ -68,7 +68,9 @@ _u8 = jnp.uint8
 
 def _kernel_body(p: ops.TranscodeParams, block: int, pack: int,
                  rows_cap: int, n_real: int, interpret: bool,
-                 depth: int, emit_running: bool):
+                 depth: int, emit_running: bool, debug_stage: int = 0):
+    # debug_stage (profiling only): 0 full | 1 skip compaction+DMA |
+    # 2 also skip slot packing | 4 state+core only (no event handling)
     B = block
     SUB, LN = 8, B // 8
     JROWS = B // 128  # one lane per pixel per slot stream
@@ -129,13 +131,33 @@ def _kernel_body(p: ops.TranscodeParams, block: int, pack: int,
         r8 = lambda x: x.reshape(SUB, LN)
         r1 = lambda x: x.reshape(1, B)
 
-        # state source: the HBM inputs at t==0; this block's own previous
-        # outputs (VMEM-resident across the t axis) afterwards
+        # state source: at t==0 copy the HBM input block into the output
+        # block ONCE (a VMEM->VMEM move), then every interval reads the
+        # output block (VMEM-resident across the t axis). A per-step
+        # where(t==0, in, out) would double the state loads instead.
+        @pl.when(at0)
+        def _():
+            for k in range(depth):
+                o_nd[k : k + 1, :] = nd_ref[k : k + 1, :]
+                o_ni[k : k + 1, :] = ni_ref[k : k + 1, :]
+                o_ndt[k : k + 1, :] = ndt_ref[k : k + 1, :]
+                o_bd[k : k + 1, :] = bd_ref[k : k + 1, :]
+                o_bdt[k : k + 1, :] = bdt_ref[k : k + 1, :]
+            o_length[:] = length_ref[:]
+            o_base[:] = base_ref[:]
+            o_cth[:] = cth_ref[:]
+            o_cic[:] = cic_ref[:]
+            o_lft[:] = lft_ref[:]
+            o_rt[:] = rt_ref[:]
+            o_need[:] = need_ref[:]
+            o_dtm[:] = dtm_ref[:]
+            o_popped[:] = popped_ref[:]
+
         def ldn(in_ref, out_ref, k):
-            return r8(jnp.where(at0, in_ref[k : k + 1, :], out_ref[k : k + 1, :]))
+            return r8(out_ref[k : k + 1, :])
 
         def ldf(in_ref, out_ref):
-            return r8(jnp.where(at0, in_ref[:], out_ref[:]))
+            return r8(out_ref[:])
 
         fences = numerics.pallas_fences("interpret" if interpret else "mosaic")
         fences.__enter__()
@@ -185,6 +207,10 @@ def _kernel_body(p: ops.TranscodeParams, block: int, pack: int,
         finally:
             fences.__exit__()
 
+        if debug_stage >= 4:
+            o_counts[:] = jnp.zeros((1, 1, 128), _i32)
+            return
+
         # ---- event slots -> per-pixel left-packed lanes ----
         pix = i * B + (
             jax.lax.broadcasted_iota(_i32, (SUB, LN), 0) * LN
@@ -200,7 +226,12 @@ def _kernel_body(p: ops.TranscodeParams, block: int, pack: int,
         ]
         n_slots = len(pixd)
         cnt = jnp.zeros((SUB, LN), _i32)
-        if pack < n_slots:
+        if debug_stage >= 2:
+            z = jnp.zeros((SUB, LN), _i32)
+            pd = [z] * pack
+            pt = [z] * pack
+            mw = z
+        elif pack < n_slots:
             pd = [jnp.zeros((SUB, LN), _i32) for _ in range(pack)]
             pt = [jnp.zeros((SUB, LN), _i32) for _ in range(pack)]
             for pd_k, t_k, m_k in pixd:
@@ -325,7 +356,7 @@ def _kernel_body(p: ops.TranscodeParams, block: int, pack: int,
             o_off[0] = off + n_j
             dma_cnt[0] = dma_cnt[0] + 1
 
-        for j in range(pack):
+        for j in range(pack if debug_stage < 1 else 0):
             par = jax.lax.rem(dma_cnt[0], 2)
             go = n_js[j] > 0
 
@@ -385,6 +416,7 @@ def make_resident_call(
     interpret: bool = False,
     depth: int = DEPTH,
     emit_running: bool = True,
+    debug_stage: int = 0,
 ):
     """Build the T-resident chunk kernel call for an N-pixel plane.
 
@@ -482,7 +514,7 @@ def make_resident_call(
 
     call = pl.pallas_call(
         _kernel_body(p, block, pack, rows_cap, n_real, interpret,
-                     depth, emit_running),
+                     depth, emit_running, debug_stage),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=0,
             grid=grid,
@@ -550,6 +582,7 @@ def make_fused_chunk_resident(
     interpret: bool = False,
     depth: int = DEPTH,
     emit_running: bool = True,
+    debug_stage: int = 0,
 ):
     """T-resident variant of ops.make_fused_chunk: one pallas_call per
     chunk, state VMEM-resident across the chunk's intervals.
@@ -572,7 +605,7 @@ def make_fused_chunk_resident(
         T, n = frames.shape
         fstep = make_resident_call(
             p, n, rows_cap, T, pallas_block, pack, n_real, interpret,
-            depth=depth, emit_running=emit_running,
+            depth=depth, emit_running=emit_running, debug_stage=debug_stage,
         )
         bufp0 = jnp.zeros((rows_cap, 128), _u32)
         buft0 = jnp.zeros((rows_cap, 128), _u32)
@@ -615,29 +648,44 @@ def assemble_resident_events(pixd: np.ndarray, t, counts: np.ndarray):
     that interval (detected per segment)."""
     counts = np.asarray(counts)
     n_blocks, T = counts.shape
-    flat = counts.reshape(-1)  # produced (block-major) order
+    total = len(pixd)
+    if total == 0:
+        return pixd, t
+    flat = counts.reshape(-1).astype(np.int64)  # produced (i, t) order
     ends = np.cumsum(flat)
-    starts = ends - flat
-    parts_p = []
-    parts_t = []
-    for tt in range(T):
-        for i in range(n_blocks):
-            s = i * T + tt
-            a, b = int(starts[s]), int(ends[s])
-            if a == b:
-                continue
-            seg_p = pixd[a:b]
-            seg_t = None if t is None else t[a:b]
-            pixs = (seg_p >> 8).astype(np.int64)
-            if np.any(np.diff(pixs) < 0):
-                o = np.argsort(pixs, kind="stable")
-                seg_p = seg_p[o]
-                if seg_t is not None:
-                    seg_t = seg_t[o]
-            parts_p.append(seg_p)
-            parts_t.append(seg_t)
-    if not parts_p:
-        return pixd[:0], (None if t is None else t[:0])
-    out_p = np.concatenate(parts_p)
-    out_t = None if t is None else np.concatenate(parts_t)
+    prod_off = ends - flat
+    # destination offsets: segments reordered to (t, i)
+    want_counts = counts.T.reshape(-1)  # (t, i) order
+    want_off_tmaj = np.cumsum(want_counts) - want_counts
+    # dest_start indexed by produced segment id s = i*T + t
+    dest_start = want_off_tmaj.reshape(T, n_blocks).T.reshape(-1)
+    seg_of_ev = np.repeat(np.arange(len(flat)), flat)
+    dest = dest_start[seg_of_ev] + np.arange(total) - prod_off[seg_of_ev]
+    out_p = np.empty_like(pixd)
+    out_p[dest] = pixd
+    out_t = None
+    if t is not None:
+        out_t = np.empty_like(t)
+        out_t[dest] = t
+    # within-segment (slot-stream) order: a stable sort by pixel is needed
+    # only where a segment's pixel sequence decreases (a multi-event pixel
+    # re-started a slot stream) — rare; fix just those segments
+    pix_seq = (out_p >> 8).astype(np.int64)
+    seg_starts_new = np.zeros(total, dtype=bool)
+    seg_starts_new[want_off_tmaj[want_counts > 0]] = True
+    bad = np.zeros(total, dtype=bool)
+    bad[1:] = (np.diff(pix_seq) < 0) & ~seg_starts_new[1:]
+    if bad.any():
+        new_ends = np.cumsum(want_counts)
+        new_starts = new_ends - want_counts
+        bad_pos = np.flatnonzero(bad)
+        # robust against zero-count segments sharing an end offset
+        seg_of_new = np.repeat(np.arange(len(want_counts)), want_counts)
+        bad_segs = np.unique(seg_of_new[bad_pos])
+        for s in bad_segs:
+            a, b = int(new_starts[s]), int(new_ends[s])
+            o = np.argsort(pix_seq[a:b], kind="stable")
+            out_p[a:b] = out_p[a:b][o]
+            if out_t is not None:
+                out_t[a:b] = out_t[a:b][o]
     return out_p, out_t
