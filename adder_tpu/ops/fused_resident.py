@@ -304,31 +304,37 @@ def _kernel_body(p: ops.TranscodeParams, block: int, pack: int,
             )
             hv = (lane1 < q).astype(_i32)
 
-            cp = jnp.concatenate([hp, fp], axis=0)  # (SROWS, 128)
+            # validity rides the pixd sign bit (pix < 2^23 keeps bit 31
+            # free): one fewer array to move through every shift pass
+            sign = jnp.int32(-0x80000000)
+            cp = jnp.concatenate(
+                [hp & ~sign | (hv << 31), fp | (fvalid << 31)], axis=0
+            )  # (SROWS, 128)
             ct_ = jnp.concatenate([ht, ft], axis=0)
             cd = jnp.concatenate([jnp.zeros((1, 128), _i32), dist_ev], axis=0)
-            cv = jnp.concatenate([hv, fvalid], axis=0)
 
             for bi in range(NPASS):
                 step = 1 << bi
                 sp = _flat_shift_left(cp, step)
                 st = _flat_shift_left(ct_, step)
                 sd = _flat_shift_left(cd, step)
-                sv = jnp.where(
-                    rowf < total_sz - step, _flat_shift_left(cv, step), 0
+                take = (
+                    (sp < 0)
+                    & (rowf < total_sz - step)
+                    & (((sd >> bi) & 1) != 0)
                 )
-                take = (sv != 0) & (((sd >> bi) & 1) != 0)
-                stay = (cv != 0) & (((cd >> bi) & 1) == 0)
-                cp = jnp.where(take, sp, cp)
+                stay = (cp < 0) & (((cd >> bi) & 1) == 0)
+                cp = jnp.where(
+                    take, sp, jnp.where(stay, cp, cp & ~sign)
+                )
                 ct_ = jnp.where(take, st, ct_)
                 cd = jnp.where(take, sd - step, cd)
-                cv = (take | stay).astype(_i32)
 
             end = q + n_j
             last_row = end // 128  # < SROWS
             row0c = jnp.minimum(off // 128, rows_cap - SROWS_PHYS)
 
-            stg_p[:SROWS] = _bitcast_u32(cp)
+            stg_p[:SROWS] = _bitcast_u32(cp & ~sign)
             stg_t[:SROWS] = _bitcast_u32(ct_)
             carryp[:] = stg_p[pl.ds(last_row, 1), :]
             carryt[:] = stg_t[pl.ds(last_row, 1), :]

@@ -170,6 +170,126 @@ def make_fused_chunk_sharded(
     return jax.jit(fn)
 
 
+def make_resident_chunk_sharded(
+    p: ops.TranscodeParams,
+    event_cap_per_dev: int,
+    mesh: Mesh,
+    pallas_block: int = 4096,
+    pack: int = 4,
+    axis_name: str = "px",
+    interpret: bool = False,
+):
+    """Multi-chip T-resident transcode (ops/fused_resident.py under
+    shard_map): each device holds its contiguous row-block's pixel state
+    VMEM-resident across the chunk — no collectives in the hot loop.
+
+    Signature: (state, frames (T, N_global) u8, time, run0) ->
+    (state, bufs_pixd (D*cap,), bufs_t (D*cap,), totals (D,),
+    per_interval (D, T), pack_max (D,), runnings (T, N_global),
+    counts (D, blocks_per_dev, T)).
+
+    Each device's buffer segment is in its local (block, interval, slot,
+    pixel) order; `assemble_resident_sharded` restores the global
+    single-thread order (interval-major across ALL devices — note the
+    plain per-device concatenation of the non-resident sharded path is
+    only interval-correct within one device). Overflow contract matches
+    make_fused_chunk_sharded."""
+    from ..ops import fused_resident
+
+    shard_map = _get_shard_map()
+
+    st_spec = ops.PixelState(
+        node_d=P(None, axis_name), node_integ=P(None, axis_name),
+        node_dt=P(None, axis_name), best_d=P(None, axis_name),
+        best_dt=P(None, axis_name),
+        length=P(axis_name), base_val=P(axis_name), c_thresh=P(axis_name),
+        c_increase_counter=P(axis_name), last_fired_t=P(axis_name),
+        running_t=P(axis_name), need_pop=P(axis_name),
+        dtm_reached=P(axis_name), popped_dtm=P(axis_name), overflow=P(),
+    )
+
+    local = fused_resident.make_fused_chunk_resident(
+        p, event_cap_per_dev, pack, pallas_block, n_real=0,
+        interpret=interpret,
+    )
+
+    def body(state, frames, time, run0):
+        (
+            st, buf_pixd, buf_t, _t16, _tb, _ok, total, per_int, runnings,
+            pmax, counts,
+        ) = local(state, frames, time, run0)
+        return (
+            st, buf_pixd, buf_t,
+            total.reshape(1), per_int.reshape(1, -1), pmax.reshape(1),
+            runnings, counts[None],
+        )
+
+    fn = shard_map(
+        body,
+        mesh=mesh,
+        in_specs=(st_spec, P(None, axis_name), P(), P(axis_name)),
+        out_specs=(
+            st_spec, P(axis_name), P(axis_name),
+            P(axis_name), P(axis_name, None), P(axis_name),
+            P(None, axis_name), P(axis_name, None, None),
+        ),
+        check_vma=False,
+    )
+    return jax.jit(fn)
+
+
+def assemble_resident_sharded(bufs_pixd, bufs_t, totals, counts,
+                              n_devices: int, pack_max=None, pack: int = 4,
+                              n_local_px: int = 0):
+    """Global single-thread order from per-device resident buffers:
+    within each device, assemble_resident_events restores interval-major
+    order; across devices, interval t's segments concatenate device-major
+    (row-block sharding keeps raster order within an interval)."""
+    from ..ops.fused_resident import assemble_resident_events
+
+    if pack_max is not None and pack < 16:
+        pm = int(np.max(np.asarray(pack_max))) & 0xFFFF
+        if pm > pack:
+            raise OverflowError(
+                f"a pixel emitted {pm} events (> pack={pack}): rerun the "
+                "chunk with pack=16 to avoid event loss"
+            )
+    counts = np.asarray(counts)
+    D, _, T = counts.shape
+    cap = bufs_pixd.shape[0] // n_devices
+    dev_p, dev_t, dev_off = [], [], []
+    for d in range(n_devices):
+        k = int(totals[d])
+        if k > cap:
+            raise OverflowError(
+                f"device {d} event buffer overflow ({k} > {cap})"
+            )
+        ap, at = assemble_resident_events(
+            np.asarray(bufs_pixd[d * cap : d * cap + k]),
+            np.asarray(bufs_t[d * cap : d * cap + k]),
+            counts[d],
+        )
+        if n_local_px:
+            # local -> global pixel ids (row-block shard d starts at
+            # pixel d * n_local_px; ids ride the high 24 bits of pixd)
+            ap = ap + (np.uint32(d * n_local_px) << np.uint32(8))
+        per_t = counts[d].sum(axis=0)
+        off = np.concatenate([[0], np.cumsum(per_t)])
+        dev_p.append(ap)
+        dev_t.append(at)
+        dev_off.append(off)
+    parts_p, parts_t = [], []
+    for t in range(T):
+        for d in range(n_devices):
+            a, b = int(dev_off[d][t]), int(dev_off[d][t + 1])
+            if a != b:
+                parts_p.append(dev_p[d][a:b])
+                parts_t.append(dev_t[d][a:b])
+    if not parts_p:
+        return bufs_pixd[:0], bufs_t[:0]
+    return np.concatenate(parts_p), np.concatenate(parts_t)
+
+
 def assemble_sharded_events(bufs_pixd, bufs_t, totals, n_devices: int,
                             pack_max=None, pack: int = 4):
     """Host-side merge of per-device fused buffers into the global stream

@@ -126,3 +126,55 @@ def test_sharded_fused_chunk_matches_single():
     # state fields match the single-device run
     for f_s, f_r in zip(st2[:-1], ref[0][:-1]):
         np.testing.assert_array_equal(np.asarray(f_s), np.asarray(f_r))
+
+
+def test_sharded_resident_chunk_matches_single():
+    """The T-resident kernel under shard_map: assemble_resident_sharded
+    restores the GLOBAL single-thread order — interval-major across
+    devices — and must match the single-device XLA chunk stream exactly.
+    Uses per-interval-changing frames so every interval emits events (the
+    plain device-major concat of the non-resident path is only correct
+    when a single interval fires; this scenario would catch that)."""
+    ndev = 2
+    devs = cpu_devices(ndev)
+    if devs is None:
+        pytest.skip("need 2 cpu devices")
+    mesh = sh.make_mesh(devs)
+    BLOCK = 128
+    n_local = BLOCK * 2
+    n = n_local * ndev
+    T = 3
+    p = ops.TranscodeParams()
+    cap = 4 * n_local * T
+
+    rng = np.random.default_rng(6)
+    frames = rng.integers(0, 256, (T, n)).astype(np.uint8)
+    state = ops.set_initial_d(
+        ops.init_state(n), jnp.asarray(frames[0].astype(np.int32))
+    )
+    run0 = jnp.zeros((n,), jnp.uint8)
+
+    ref_fn = ops.make_transcode_chunk(p, cap * ndev, ops.K_SLOTS)
+    ref = ref_fn(state, jnp.asarray(frames), jnp.float32(255.0), run0)
+    ref_total = int(ref[6])
+    per_int_ref = np.asarray(ref[7])
+    assert np.count_nonzero(per_int_ref) >= 2, "need multi-interval events"
+    ref_pixd = np.asarray(ref[1][:ref_total])
+    ref_t = np.asarray(ref[2][:ref_total])
+
+    fn = sh.make_resident_chunk_sharded(
+        p, cap, mesh, pallas_block=BLOCK, interpret=True
+    )
+    st_sh = sh.shard_state(state, mesh)
+    outs = fn(st_sh, jnp.asarray(frames), jnp.float32(255.0), run0)
+    (st2, bufs_pixd, bufs_t, totals, per_int, pmax, runnings, counts) = outs
+    glob_pixd, glob_t = sh.assemble_resident_sharded(
+        np.asarray(bufs_pixd), np.asarray(bufs_t), np.asarray(totals),
+        np.asarray(counts), ndev, pack_max=np.asarray(pmax),
+        n_local_px=n_local,
+    )
+    assert len(glob_pixd) == ref_total
+    np.testing.assert_array_equal(glob_pixd, ref_pixd)
+    np.testing.assert_array_equal(glob_t, ref_t)
+    for f_s, f_r in zip(st2[:-1], ref[0][:-1]):
+        np.testing.assert_array_equal(np.asarray(f_s), np.asarray(f_r))
