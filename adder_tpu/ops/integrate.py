@@ -562,10 +562,19 @@ def _integrate(s: _S, intensity, time, p: TranscodeParams):
         active = active & ~brk
 
     if frame_perfect:
-        # deferred event payload for the (single) fired node
+        # deferred event payload for the (single) fired node.
+        # FramePerfect is framed-only (ref: framed.rs:66 is its sole
+        # producer), so intensities are integer-valued u8 and, when the
+        # dtm window bounds accumulated totals under 2^24, the payload
+        # division runs on the integer domain where the cheaper
+        # exact_div_uint24 is provably correctly rounded.
+        int_regime = (
+            255.0 * (p.delta_t_max / max(p.ref_time, 1) + 4) < float(1 << 24)
+        )
+        div = numerics.exact_div_uint24 if int_regime else exact_div
         total_f = (snap_integ + i_cur).astype(_f32)
         new_d_f = _d_from_intensity(total_f)
-        prop = exact_div(
+        prop = div(
             (_dshift_f32(new_d_f) - snap_integ).astype(_f32), i_cur
         )
         prop = jnp.where(

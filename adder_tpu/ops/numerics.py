@@ -111,6 +111,47 @@ def _pow2(e):
     return jax.lax.bitcast_convert_type((e + 127) << 23, _f32)
 
 
+def exact_div_uint24(a, b):
+    """Correctly-rounded f32 a/b on the FramePerfect framed domain:
+    INTEGER-valued f32 a in [0, 2^24) and integer b in [1, 2^12).
+
+    Equal to exact_div there, at roughly half the ops: operands cannot
+    overflow the Veltkamp split, so no exponent normalization; and b needs
+    no split (a 12-bit mantissa half times b < 2^12 is exact), so each
+    residual costs one one-sided split instead of a full Dekker product.
+    Out-of-domain inputs (b == 0 etc.) fall back to the hardware result,
+    mirroring exact_div's masked-lane contract."""
+    a = a.astype(_f32)
+    b = b.astype(_f32)
+    q0 = barrier((a / b).astype(_f32))
+
+    def residual(q):
+        # r = a - q*b exactly: split q into 12+12 mantissa bits; both
+        # halves times b (< 2^12) are exact f32 products
+        c = (_SPLIT * q).astype(_f32)
+        qh = (c - (c - q)).astype(_f32)
+        ql = (q - qh).astype(_f32)
+        p = (q * b).astype(_f32)
+        e = ((qh * b - p) + ql * b).astype(_f32)
+        return ((a - p) - e).astype(_f32)
+
+    # one residual-correction step makes q faithful (< 1 ulp) even if the
+    # hardware approximation was a couple of ulps off
+    q1 = (q0 + residual(q0) / b).astype(_f32)
+    r1 = residual(q1)
+    qbits = jax.lax.bitcast_convert_type(q1, jnp.int32)
+    step = jnp.where(r1 > 0, 1, -1).astype(jnp.int32)
+    qn = jax.lax.bitcast_convert_type(qbits + step, _f32)
+    rn = residual(qn)
+    take_n = jnp.abs(rn) < jnp.abs(r1)
+    tie = jnp.abs(rn) == jnp.abs(r1)
+    n_even = (qbits + step) & 1 == 0
+    q = jnp.where(r1 == 0, q1, jnp.where(take_n | (tie & n_even), qn, q1))
+
+    ok = jnp.isfinite(q0) & (a >= 0) & (b >= 1)
+    return jnp.where(ok, q, q0)
+
+
 def exact_div(a, b):
     """Correctly-rounded f32 a/b (within ~2^-45 misround probability).
 

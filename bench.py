@@ -87,12 +87,14 @@ def _bench_params(ops):
 
 
 def _device_loop(jax, jnp, ops, fr, H, W, channels, n_chunks=6, T=16):
-    BLOCK = 4096
+    BLOCK = 8192  # fewer grid steps; state+staging fit VMEM comfortably
     npx = H * W * channels
     n = ((npx + BLOCK - 1) // BLOCK) * BLOCK
     frames = _scene(H, W * channels, n, T * n_chunks)
     p = _bench_params(ops)
-    cap = 4 * n * T  # ample for this scene; asserted below
+    # ~0.1 events/px/interval scene; 1/px/interval cap keeps the buffer
+    # zero-init + t16 finish passes small (asserted below)
+    cap = n * T
     fn = fr.make_fused_chunk_resident(
         p, cap, 4, pallas_block=BLOCK, n_real=npx, depth=6,
         emit_running=False,
@@ -203,6 +205,56 @@ def _parity_check(jax, jnp, ops, fr):
     )
 
 
+def _dvs_loop(n_events=400_000, W=346, H=260):
+    """Synthetic Prophesee RAW -> ADDER via the batched device path
+    (the DVS default; ref serial loop: prophesee.rs:116-297). Host-driven:
+    includes host lane planning and (on this harness) the tunnel's
+    transfer tax — a conservative lower bound for locally attached chips."""
+    import struct
+    import tempfile
+
+    from adder_tpu.codec.encoder import EncoderOptions, EncoderType
+    from adder_tpu.core.types import PixelMultiMode, SourceCamera, TimeMode
+    from adder_tpu.transcoder.prophesee import Prophesee
+
+    rng = np.random.default_rng(2)
+    t = np.sort(rng.integers(1000, 4_000_000, n_events)).astype(np.uint32)
+    x = rng.integers(0, W, n_events)
+    y = rng.integers(0, H, n_events)
+    pol = rng.integers(0, 2, n_events)
+    words = (
+        (pol.astype(np.uint64) << 28)
+        | (y.astype(np.uint64) << 14)
+        | x.astype(np.uint64)
+    )
+    rec = np.empty(n_events * 2, np.uint32)
+    rec[0::2] = t
+    rec[1::2] = words.astype(np.uint32)
+    with tempfile.NamedTemporaryFile(suffix=".raw", delete=False) as f:
+        f.write(f"% Height {H}\n% Width {W}\n".encode())
+        f.write(bytes([0, 8]))
+        f.write(rec.tobytes())
+        path = f.name
+
+    src = Prophesee(20, path, batched=True)
+    src.write_out(
+        SourceCamera.Dvs, TimeMode.AbsoluteT, PixelMultiMode.Collapse,
+        None, EncoderType.Empty, EncoderOptions.default(src.plane), None,
+    )
+    # warm: first consume compiles the masked-interval graphs
+    src.consume()
+    t0 = time.perf_counter()
+    n = 0
+    try:
+        while True:
+            src.consume()
+            n += 1
+    except EOFError:
+        pass
+    dt = time.perf_counter() - t0
+    return n_events / dt / 1e6
+
+
 def main():
     import jax
     import jax.numpy as jnp
@@ -229,6 +281,12 @@ def main():
         )
     except Exception as e:
         print(f"# e2e bench failed: {e}", file=sys.stderr)
+
+    try:
+        dvs = _dvs_loop()
+        _emit("prophesee_to_adder_dvs_transcode", dvs, "Mev/s")
+    except Exception as e:
+        print(f"# dvs bench failed: {e}", file=sys.stderr)
 
     mono = _device_loop(jax, jnp, ops, fr, 1080, 1920, 1)
     _emit(

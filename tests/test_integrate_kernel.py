@@ -127,3 +127,25 @@ def test_kernel_matches_oracle(case, crf_like):
     assert len(got) == len(want), (len(got), len(want))
     mism = [i for i, (g, w) in enumerate(zip(got, want)) if g != w]
     assert not mism, (mism[:5], [got[i] for i in mism[:3]], [want[i] for i in mism[:3]])
+
+
+def test_exact_div_uint24_matches_exact_div():
+    """The FramePerfect integer-domain divider must be correctly rounded
+    (== exact_div == f64-rounded-to-f32) over its whole contract domain:
+    integer a in [0, 2^24), integer b in [1, 2^12)."""
+    import jax.numpy as jnp
+
+    from adder_tpu.ops import numerics
+
+    rng = np.random.default_rng(21)
+    a = rng.integers(0, 1 << 24, 200_000).astype(np.float32)
+    b = rng.integers(1, 1 << 12, 200_000).astype(np.float32)
+    # adversarial band: small quotients and near-tie magnitudes
+    a[:4096] = np.repeat(np.arange(1, 65), 64).astype(np.float32)
+    b[:4096] = np.tile(np.arange(1, 65), 64).astype(np.float32)
+    got = np.asarray(numerics.exact_div_uint24(jnp.asarray(a), jnp.asarray(b)))
+    ref = np.asarray(numerics.exact_div(jnp.asarray(a), jnp.asarray(b)))
+    np.testing.assert_array_equal(got.view(np.uint32), ref.view(np.uint32))
+    # and both equal the f64 quotient rounded to f32
+    f64 = (a.astype(np.float64) / b.astype(np.float64)).astype(np.float32)
+    np.testing.assert_array_equal(ref.view(np.uint32), f64.view(np.uint32))
