@@ -621,12 +621,16 @@ def make_fused_chunk_resident(
         counts = counts[:, :T]  # (n_blocks, T)
         per_interval = counts.sum(axis=0)
 
-        def rstep(run, xs):
-            rv, rh = xs
-            run = jnp.where(rh != 0, rv, run)
-            return run, run
+        if emit_running:
+            def rstep(run, xs):
+                rv, rh = xs
+                run = jnp.where(rh != 0, rv, run)
+                return run, run
 
-        _, runnings = jax.lax.scan(rstep, run0, (run_val, run_has))
+            _, runnings = jax.lax.scan(rstep, run0, (run_val, run_has))
+        else:
+            # running-intensity outputs are all-zero; skip the carry scan
+            runnings = run_val
 
         buf_pixd = bufp.reshape(-1)[:event_cap]
         buf_t = buft.reshape(-1)[:event_cap]

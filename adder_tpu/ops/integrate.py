@@ -308,7 +308,8 @@ def _pop_top_event(s: _S, next_i, mask, p: TranscodeParams):
     ev_dt = jnp.where(has_best, s.bdt[0], n0_dt)
 
     t, new_lft = _emit_abs(s.lft, ev_dt, p)
-    s.lft = jnp.where(mask, new_lft, s.lft)
+    if p.time_mode == int(TimeMode.AbsoluteT):  # new_lft == lft otherwise
+        s.lft = jnp.where(mask, new_lft, s.lft)
 
     # arena shift-left for best & synth cases; zero case leaves arena in place
     shift = mask & ~zero_case
@@ -356,7 +357,8 @@ def _pop_best_events(s: _S, intensity, mask, p: TranscodeParams):
         d_raw = jnp.where(has_best, s.bd[k], D_ZERO_INTEGRATION)
         dt_raw = jnp.where(has_best, s.bdt[k], s.ndt[k])
         t, new_lft = _emit_abs(s.lft, dt_raw, p)
-        s.lft = jnp.where(emit, new_lft, s.lft)
+        if p.time_mode == int(TimeMode.AbsoluteT):
+            s.lft = jnp.where(emit, new_lft, s.lft)
         slots.append((d_raw, t, emit))
         any_emit = emit if any_emit is None else (any_emit | emit)
         # zero-event mutates node.dt = 0; only the tail's survives the reset
@@ -425,7 +427,8 @@ def _set_d_for_continuous(s: _S, intensity, mask, p: TranscodeParams):
     next_d = _d_from_intensity(intensity)
     fire = mask & (next_d < s.nd[0]) & (s.ndt[0] > 0.0)
     t, new_lft = _emit_abs_continuous(s.lft, s.ndt[0], p)
-    s.lft = jnp.where(fire, new_lft, s.lft)
+    if p.time_mode == int(TimeMode.AbsoluteT):
+        s.lft = jnp.where(fire, new_lft, s.lft)
     s.ndt[0] = jnp.where(fire, 0.0, s.ndt[0])
     s.ni[0] = jnp.where(fire, 0.0, s.ni[0])
     s.nd[0] = jnp.where(mask, next_d, s.nd[0])
@@ -506,20 +509,17 @@ def _integrate(s: _S, intensity, time, p: TranscodeParams):
             i_prop = _fence((i_cur * prop).astype(_f32))
             fired_best_dt = (dt + t_prop).astype(_f32)
 
-        # D bump for continued integration (ref: :449-461)
+        # D bump for continued integration (ref: :449-461); the reference's
+        # max(new_d+1, d_from(total)+1) has equal operands (new_d IS
+        # d_from(total)), so the bump is just new_d+1 capped at 128
         bump = new_d < D_MAX
-        d_bumped = jnp.minimum(
-            jnp.maximum(new_d + 1, _d_from_intensity(total) + 1), 128
-        )
+        d_bumped = jnp.minimum(new_d + 1, 128)
 
         accum = active & ~fire
+        grow = (fire & bump) | accum  # disjoint branches, shared condition
         s.nd[k] = jnp.where(fire, jnp.where(bump, d_bumped, new_d), d)
-        s.ni[k] = jnp.where(
-            fire & bump, total, jnp.where(accum, total, integ)
-        )
-        s.ndt[k] = jnp.where(
-            (fire & bump) | accum, (dt + t_cur).astype(_f32), dt
-        )
+        s.ni[k] = jnp.where(grow, total, integ)
+        s.ndt[k] = jnp.where(grow, (dt + t_cur).astype(_f32), dt)
         if not frame_perfect:
             s.bd[k] = jnp.where(fire, new_d, s.bd[k])
             s.bdt[k] = jnp.where(fire, fired_best_dt, s.bdt[k])
