@@ -43,6 +43,11 @@ def host_cache_key() -> str:
             model += "|" + " ".join(sorted(f.group(1).split()))
     except OSError:
         pass
+    # Two VM shapes of the same CPU family can still report identical
+    # model+flags while LLVM target tuning differs (observed: AOT entries
+    # with +prefer-no-scatter/-gather loading on a host without them).
+    # The core count separates the shapes.
+    model += f"|ncpu={os.cpu_count()}"
     return hashlib.sha1(model.encode()).hexdigest()[:12]
 
 
@@ -61,6 +66,39 @@ def configure_platform() -> None:
         jax.config.update("jax_platforms", plat)
     except Exception:
         pass
+
+
+def process_map_count() -> int:
+    """Number of memory mappings of this process (0 if unknowable)."""
+    try:
+        with open("/proc/self/maps") as f:
+            return sum(1 for _ in f)
+    except OSError:
+        return 0
+
+
+def bound_jit_mappings(threshold: int = 40_000) -> bool:
+    """Drop JAX's in-process executable caches when the process nears the
+    kernel's mapping limit; returns True when a purge happened.
+
+    Every XLA:CPU executable holds several anonymous JIT-code mappings for
+    the life of the process (JAX's global caches keep all of them alive).
+    A process that compiles thousands of distinct programs — a long test
+    session, a long-lived transcoding service crossing many capacity
+    steps — runs into `vm.max_map_count` (default 65530), at which point
+    the next mmap fails and LLVM SIGSEGVs mid-compile (diagnosed on a
+    full-suite run: 60k+ anonymous mappings, deterministic crash in
+    backend_compile_and_load). Re-compiles after a purge are mostly disk
+    loads thanks to the persistent compilation cache."""
+    if process_map_count() < threshold:
+        return False
+    import gc
+
+    import jax
+
+    jax.clear_caches()
+    gc.collect()
+    return True
 
 
 def configure_compilation_cache() -> None:

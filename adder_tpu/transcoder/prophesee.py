@@ -342,6 +342,12 @@ class Prophesee:
         take = self._scan_take = max(take, getattr(self, "_scan_take", 0))
         L_pad = 1 << (len(lanes) - 1).bit_length()
         L_pad = self._scan_lpad = max(L_pad, getattr(self, "_scan_lpad", 0))
+        # each scan-step executable holds hundreds of JIT-code mappings; a
+        # long-lived process crossing many sticky shapes must not run into
+        # vm.max_map_count (see runtime.bound_jit_mappings)
+        from ..runtime import bound_jit_mappings
+
+        bound_jit_mappings()
         fn = B.make_dvs_scan_step(self._tp(), take)
         st0 = self._dev_state
         stacked = [jnp.asarray(a) for a in B.stack_lanes(lanes, L_pad)]

@@ -126,7 +126,7 @@ def _device_loop(jax, jnp, ops, fr, H, W, channels, n_chunks=4, T=64):
     return npx / dt / 1e6
 
 
-def _e2e_loop(jax, jnp, H=1080, W=1920, n_chunks=4, T=16):
+def _e2e_loop(jax, jnp, H=1080, W=1920, n_chunks=2, T=16):
     """Host frames -> Video submit/collect -> events -> Empty encoder."""
     from adder_tpu.core.types import (
         Mode, PixelMultiMode, PlaneSize, TimeMode,
@@ -214,7 +214,7 @@ def _parity_check(jax, jnp, ops, fr):
     )
 
 
-def _dvs_loop(n_events=400_000, W=346, H=260):
+def _dvs_loop(n_events=100_000, W=346, H=260, span=200_000):
     """Synthetic Prophesee RAW -> ADDER via the batched device path
     (the DVS default; ref serial loop: prophesee.rs:116-297). Host-driven:
     includes host lane planning and (on this harness) the tunnel's
@@ -227,10 +227,12 @@ def _dvs_loop(n_events=400_000, W=346, H=260):
     from adder_tpu.transcoder.prophesee import Prophesee
 
     rng = np.random.default_rng(2)
-    # 0.5 s of stream: the source consumes 1/60 s windows, and each window
+    # ~0.2 s of stream: the source consumes 1/60 s windows, and each window
     # costs one device dispatch + sync (a full tunnel RTT on this harness),
-    # so the window count — not the event count — bounds throughput here
-    t = np.sort(rng.integers(1000, 500_000, n_events)).astype(np.uint32)
+    # so the window count — not the event count — bounds throughput here.
+    # The workload is kept small: on a 1-core bench host the sticky-scan
+    # compiles dominate and the section must stay time-bounded.
+    t = np.sort(rng.integers(1000, span, n_events)).astype(np.uint32)
     x = rng.integers(0, W, n_events)
     y = rng.integers(0, H, n_events)
     pol = rng.integers(0, 2, n_events)
@@ -279,17 +281,27 @@ def main():
     from adder_tpu.ops import fused_resident as fr
     from adder_tpu.ops import integrate as ops
 
+    start = time.perf_counter()
+
+    def _mark(name):
+        print(
+            f"# bench section {name} done at t+{time.perf_counter() - start:.0f}s",
+            file=sys.stderr, flush=True,
+        )
+
     try:
         parity = _parity_check(jax, jnp, ops, fr)
     except Exception:
         parity = False
     _emit("tpu_vs_cpu_event_parity", 1.0 if parity else 0.0, "bool")
+    _mark("parity")
 
     try:
         color = _device_loop(jax, jnp, ops, fr, 1080, 1920, 3, n_chunks=3, T=32)
         _emit("framed_to_adder_1080p_color_transcode", color, "Mch-px/s")
     except Exception as e:
         print(f"# color bench failed: {e}", file=sys.stderr)
+    _mark("color")
 
     try:
         e2e = _e2e_loop(jax, jnp)
@@ -298,18 +310,26 @@ def main():
         )
     except Exception as e:
         print(f"# e2e bench failed: {e}", file=sys.stderr)
+    _mark("e2e")
 
-    try:
-        dvs = _dvs_loop()
-        _emit("prophesee_to_adder_dvs_transcode", dvs, "Mev/s")
-    except Exception as e:
-        print(f"# dvs bench failed: {e}", file=sys.stderr)
+    # host-driven sections already cost minutes on a slow bench host;
+    # protect the headline by skipping DVS when the budget is nearly gone
+    if time.perf_counter() - start < 1500:
+        try:
+            dvs = _dvs_loop()
+            _emit("prophesee_to_adder_dvs_transcode", dvs, "Mev/s")
+        except Exception as e:
+            print(f"# dvs bench failed: {e}", file=sys.stderr)
+        _mark("dvs")
+    else:
+        print("# dvs bench skipped: time budget", file=sys.stderr)
 
     mono = _device_loop(jax, jnp, ops, fr, 1080, 1920, 1)
     _emit(
         "framed_to_adder_1080p_mono_transcode", mono, "Mpx/s",
         mono / BASELINE,
     )
+    _mark("mono")
 
 
 if __name__ == "__main__":

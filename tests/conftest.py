@@ -53,3 +53,23 @@ def samples_dir() -> pathlib.Path:
     if not REFERENCE_SAMPLES.is_dir():
         pytest.skip("reference sample fixtures unavailable")
     return REFERENCE_SAMPLES
+
+
+# One pytest process compiles thousands of distinct XLA programs; each live
+# executable holds several anonymous JIT-code mappings, and the suite was
+# observed to segfault (LLVM, inside backend_compile_and_load) when the
+# process crossed vm.max_map_count (65530). Purge JAX's executable caches
+# whenever the mapping count nears the limit; the persistent compilation
+# cache turns the recompiles into disk loads.
+from adder_tpu.runtime import bound_jit_mappings
+
+
+@pytest.fixture(autouse=True)
+def _bound_process_mappings(request):
+    yield
+    import os as _os
+    if _os.environ.get("ADDER_TPU_MAPS_LOG"):
+        from adder_tpu.runtime import process_map_count
+        with open(_os.environ["ADDER_TPU_MAPS_LOG"], "a") as f:
+            f.write(f"{process_map_count()} {request.node.nodeid}\n")
+    bound_jit_mappings()
