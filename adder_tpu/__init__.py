@@ -12,7 +12,9 @@ Layer map (mirrors reference SURVEY.md section 1):
   transcoder/  L3 intensity -> events (JAX kernels + sources)
   framer/      L3 events -> frames
   ops/         device kernels (integration, compaction, FAST features)
-  parallel/    multi-chip sharding (jax.sharding / shard_map)
+  parallel/    multi-chip sharding (jax.sharding / shard_map) and
+               multi-host ingest/collection (parallel/multihost.py);
+               the mesh-wide Video API is transcoder/sharded.py
   utils/       cv metrics, pipelines, visualization
   models/      end-to-end pipeline models (transcode, simul, player)
 """

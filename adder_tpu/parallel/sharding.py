@@ -178,6 +178,8 @@ def make_resident_chunk_sharded(
     pack: int = 4,
     axis_name: str = "px",
     interpret: bool = False,
+    depth: int = ops.DEPTH,
+    emit_running: bool = True,
 ):
     """Multi-chip T-resident transcode (ops/fused_resident.py under
     shard_map): each device holds its contiguous row-block's pixel state
@@ -210,7 +212,7 @@ def make_resident_chunk_sharded(
 
     local = fused_resident.make_fused_chunk_resident(
         p, event_cap_per_dev, pack, pallas_block, n_real=0,
-        interpret=interpret,
+        interpret=interpret, depth=depth, emit_running=emit_running,
     )
 
     def body(state, frames, time, run0):
