@@ -57,6 +57,10 @@ from .fused_kernel import (
     _rank_exclusive,
 )
 
+
+def _bitcast_f32(x):
+    return jax.lax.bitcast_convert_type(x, jnp.float32)
+
 DEPTH = ops.DEPTH
 K = ops.K_SLOTS
 
@@ -68,7 +72,14 @@ _u8 = jnp.uint8
 
 def _kernel_body(p: ops.TranscodeParams, block: int, pack: int,
                  rows_cap: int, n_real: int, interpret: bool,
-                 depth: int, emit_running: bool, debug_stage: int = 0):
+                 depth: int, emit_running: bool, debug_stage: int = 0,
+                 dvs: bool = False):
+    # dvs=True: the interval axis carries DVS lane SUB-STEPS instead of
+    # frames (SURVEY P5). The frames input becomes (T, 3, B) f32 planes
+    # [intensity, ticks-spanned, fv | active<<8 bitcast]; each sub-step
+    # integrates per-pixel time spans and only `active` pixels commit
+    # state (masked-off pixels are restored from the pre-step values and
+    # their slots suppressed — in-kernel ops/dvs_batch.masked_interval).
     # debug_stage (profiling only): 0 full | 1 skip compaction+DMA |
     # 2 also skip slot packing | 4 state+core only (no event handling)
     B = block
@@ -179,12 +190,67 @@ def _kernel_body(p: ops.TranscodeParams, block: int, pack: int,
             s.popped_dtm = ldf(popped_ref, o_popped) != 0
             s.overflow = jnp.zeros((), _i32)
 
-            fv = r8(frame_ref[:]).astype(_i32)
-            intensity = fv.astype(_f32)
-            slots, (run_val, run_has) = ops._interval_core(
-                s, intensity, fv, time_ref[0, 0], p,
-                emit_running=emit_running,
-            )
+            if dvs:
+                # (1, 1, B) slices reshape cleanly to (8, LN) under Mosaic
+                # (a 1-D -> 2-D vector reshape does not lower). The planes
+                # ride i32 — small integers bitcast to f32 are DENORMALS,
+                # which the TPU flushes to zero (observed: compiled kernel
+                # read active=0 everywhere); normal floats bitcast to i32
+                # and back are safe.
+                intensity = _bitcast_f32(r8(frame_ref[:, 0:1, :]))
+                tspan = _bitcast_f32(r8(frame_ref[:, 1:2, :]))
+                w = r8(frame_ref[:, 2:3, :])
+                fv = w & 0xFF
+                active = ((w >> 8) & 1) != 0
+                old = ops._S()
+                old.nd = list(s.nd)
+                old.ni = list(s.ni)
+                old.ndt = list(s.ndt)
+                old.bd = list(s.bd)
+                old.bdt = list(s.bdt)
+                (
+                    old.length, old.base_val, old.c_thresh, old.cic,
+                    old.lft, old.running_t, old.need_pop, old.dtm_reached,
+                    old.popped_dtm,
+                ) = (
+                    s.length, s.base_val, s.c_thresh, s.cic, s.lft,
+                    s.running_t, s.need_pop, s.dtm_reached, s.popped_dtm,
+                )
+                slots, (run_val, run_has) = ops._interval_core(
+                    s, intensity, fv, tspan, p, emit_running=emit_running,
+                )
+                # only active pixels commit; the rest roll back (their
+                # garbage inputs may have popped/moved c_thresh)
+                for k in range(depth):
+                    s.nd[k] = jnp.where(active, s.nd[k], old.nd[k])
+                    s.ni[k] = jnp.where(active, s.ni[k], old.ni[k])
+                    s.ndt[k] = jnp.where(active, s.ndt[k], old.ndt[k])
+                    s.bd[k] = jnp.where(active, s.bd[k], old.bd[k])
+                    s.bdt[k] = jnp.where(active, s.bdt[k], old.bdt[k])
+                s.length = jnp.where(active, s.length, old.length)
+                s.base_val = jnp.where(active, s.base_val, old.base_val)
+                s.c_thresh = jnp.where(active, s.c_thresh, old.c_thresh)
+                s.cic = jnp.where(active, s.cic, old.cic)
+                s.lft = jnp.where(active, s.lft, old.lft)
+                s.running_t = jnp.where(active, s.running_t, old.running_t)
+                # bool selects lower poorly under Mosaic (i8->i1 trunc);
+                # select in u8 and re-compare
+                def _selb(a, b):
+                    return jnp.where(
+                        active, a.astype(_u8), b.astype(_u8)
+                    ) != 0
+
+                s.need_pop = _selb(s.need_pop, old.need_pop)
+                s.dtm_reached = _selb(s.dtm_reached, old.dtm_reached)
+                s.popped_dtm = _selb(s.popped_dtm, old.popped_dtm)
+                slots = [(d, tt, m & active) for (d, tt, m) in slots]
+            else:
+                fv = r8(frame_ref[:]).astype(_i32)
+                intensity = fv.astype(_f32)
+                slots, (run_val, run_has) = ops._interval_core(
+                    s, intensity, fv, time_ref[0, 0], p,
+                    emit_running=emit_running,
+                )
 
             for k in range(depth):
                 o_nd[k : k + 1, :] = r1(s.nd[k])
@@ -423,6 +489,7 @@ def make_resident_call(
     depth: int = DEPTH,
     emit_running: bool = True,
     debug_stage: int = 0,
+    dvs: bool = False,
 ):
     """Build the T-resident chunk kernel call for an N-pixel plane.
 
@@ -451,19 +518,20 @@ def make_resident_call(
             (1, B), lambda i, t: (0, i), memory_space=pltpu.VMEM
         )
 
-    def tflat_spec():
-        # (T, 1, n) arrays with (1, 1, B) blocks: Mosaic requires the last
+    def tflat_spec(c: int = 1):
+        # (T, c, n) arrays with (1, c, B) blocks: Mosaic requires the last
         # two block dims divisible by (8, 128) or equal to the array dims,
         # so the T axis must sit in a leading position
         return pl.BlockSpec(
-            (1, 1, B), lambda i, t: (t, 0, i), memory_space=pltpu.VMEM
+            (1, c, B), lambda i, t: (t, 0, i), memory_space=pltpu.VMEM
         )
 
+    chans = 3 if dvs else 1
     in_specs = [
         pl.BlockSpec((1, 1), lambda i, t: (0, 0), memory_space=pltpu.SMEM),
         pl.BlockSpec(memory_space=pltpu.SMEM),  # offset_in
         flat_spec(),  # live
-        tflat_spec(),  # frames (T, n)
+        tflat_spec(chans),  # frames (T, n) u8 | dvs planes (T, 3, n) f32
         depth_spec(), depth_spec(), depth_spec(), depth_spec(), depth_spec(),
         flat_spec(), flat_spec(), flat_spec(), flat_spec(),
         flat_spec(), flat_spec(),
@@ -520,7 +588,7 @@ def make_resident_call(
 
     call = pl.pallas_call(
         _kernel_body(p, block, pack, rows_cap, n_real, interpret,
-                     depth, emit_running, debug_stage),
+                     depth, emit_running, debug_stage, dvs=dvs),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=0,
             grid=grid,
@@ -540,7 +608,7 @@ def make_resident_call(
         off1 = jnp.asarray(offset, _i32).reshape(1)
         outs = call(
             time2d, off1, jnp.asarray(live_np),
-            frames.reshape(T, 1, n),
+            frames.reshape(T, chans, n),
             state.node_d, state.node_integ, state.node_dt,
             state.best_d, state.best_dt,
             state.length.reshape(1, n).astype(_i32),
@@ -641,6 +709,63 @@ def make_fused_chunk_resident(
             state, buf_pixd, buf_t, buf_t16, t_base, t16_ok, total,
             per_interval, runnings, pmax, counts,
         )
+
+    return jax.jit(chunk_fn)
+
+
+@functools.lru_cache(maxsize=32)
+def make_dvs_chunk_resident(
+    p: ops.TranscodeParams,
+    event_cap: int,
+    pallas_block: int = 4096,
+    n_real: int = 0,
+    interpret: bool = False,
+    depth: int = 16,
+):
+    """DVS lanes through the T-resident kernel (SURVEY P5): the interval
+    axis carries lane sub-steps — per-pixel (intensity, ticks-spanned,
+    fv, active) planes — with state VMEM-resident across the whole batch
+    and per-slot in-kernel compaction, replacing the XLA scan path whose
+    per-sub-step compaction scales with the event-capacity bound.
+
+    Signature: (state, intensity (T, N) f32, tspan (T, N) f32,
+    fvw (T, N) i32 [fv | active << 8]) ->
+    (state, ev_pixd, ev_t, total, per_interval, pack_max, counts).
+    The three planes ship device-side as ONE (T, 3, N) i32 array (the f32
+    planes bitcast): integers bitcast to f32 are denormals and the TPU
+    flushes them to zero.
+
+    Slot lanes = depth + 3 (every event a sub-step can emit has its own
+    lane), so there is no packed-lane overflow; `total > event_cap` is the
+    only overflow (caller reruns with a larger cap). Event buffer order is
+    (block, sub-step, slot, pixel) — assemble_resident_events restores
+    (sub-step, pixel, slot), which is each pixel's chronological order
+    (lane k = the pixel's k-th event of the batch).
+    Ref semantics: adder-codec-rs/src/transcoder/source/prophesee.rs:116-297.
+    """
+    pack = depth + 3
+    srows_phys = ((pallas_block // 128 + 1 + 7) // 8) * 8
+    rows_cap = -(-event_cap // 128) + srows_phys
+
+    def chunk_fn(state, intensity, tspan, fvw):
+        T, n = intensity.shape
+        fstep = make_resident_call(
+            p, n, rows_cap, T, pallas_block, pack, n_real, interpret,
+            depth=depth, emit_running=False, dvs=True,
+        )
+        bc = lambda x: jax.lax.bitcast_convert_type(x, _i32)
+        frames = jnp.stack([bc(intensity), bc(tspan), fvw], axis=1)
+        bufp0 = jnp.zeros((rows_cap, 128), _u32)
+        buft0 = jnp.zeros((rows_cap, 128), _u32)
+        (
+            state, bufp, buft, total, pmax, counts, _rv, _rh,
+        ) = fstep(state, frames, jnp.float32(0.0), bufp0, buft0,
+                  jnp.zeros((), _i32))
+        counts = counts[:, :T]
+        per_interval = counts.sum(axis=0)
+        buf_pixd = bufp.reshape(-1)[:event_cap]
+        buf_t = buft.reshape(-1)[:event_cap]
+        return state, buf_pixd, buf_t, total, per_interval, pmax, counts
 
     return jax.jit(chunk_fn)
 

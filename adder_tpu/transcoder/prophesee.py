@@ -97,7 +97,21 @@ class Prophesee:
     streams are bit-identical between the two paths
     (tests/test_dvs_batch.py)."""
 
-    def __init__(self, ref_time: int, input_path: str, batched: bool = True):
+    def __init__(self, ref_time: int, input_path: str, batched: bool = True,
+                 view_fps: int = 60, engine: Optional[str] = None):
+        """view_fps: how much of the stream one consume() call processes
+        (events until t passes running_t + tps/view_fps). 60 mirrors the
+        reference's 1/60 s view interval (prophesee.rs:136-170); offline
+        bulk transcodes can lower it (e.g. 1 = one-second batches) to
+        amortize device dispatches over far more events — per-pixel event
+        streams are identical either way (the lane replay preserves each
+        pixel's chain regardless of batch boundaries).
+
+        engine (batched path): 'resident' runs lane sub-steps through the
+        T-resident Pallas kernel (ops/fused_resident.make_dvs_chunk_resident
+        — state VMEM-resident across the batch, in-kernel compaction);
+        'scan' is the XLA lax.scan path. Default: resident on accelerator
+        backends, scan on cpu (override with ADDER_TPU_DVS_RESIDENT=0/1)."""
         self.reader = open(input_path, "rb")
         _, _, _, (h, w) = parse_header(self.reader)
         plane = PlaneSize(w, h, 1)
@@ -116,6 +130,7 @@ class Prophesee:
         self.running_t = 0
         self.t_subtract = 0
         self.camera_theta = 0.02
+        self.view_fps = max(int(view_fps), 1)
         n = plane.volume()
         self.dvs_last_timestamps = np.full(n, 2, dtype=np.uint32)
         self.dvs_last_ln_val = np.full(n, np.log1p(128.0 / 255.0), dtype=np.float64)
@@ -123,6 +138,10 @@ class Prophesee:
 
         self.batched = batched
         if batched:
+            import os
+
+            import jax
+
             from ..ops import integrate as ops_integrate
 
             # DVS gap integrations cascade much deeper than framed intervals
@@ -130,6 +149,26 @@ class Prophesee:
             # gaps, and state.overflow counts any deeper truncation
             self._dev_state = ops_integrate.init_state(n, depth=16)
             self._pixels = []
+            backend = jax.default_backend()
+            if engine is None:
+                engine = "scan" if backend == "cpu" else "resident"
+            env = os.environ.get("ADDER_TPU_DVS_RESIDENT")
+            if env == "0":
+                engine = "scan"
+            elif env == "1":
+                engine = "resident"
+            self._engine = engine
+            self._res_interpret = backend == "cpu"
+            self._res_block = 128 if backend == "cpu" else 4096
+            if engine == "resident":
+                # the Pallas kernel pads the plane to whole blocks; pad
+                # pixels carry active=0 in every lane and never emit
+                self._res_nstate = (
+                    (n + self._res_block - 1) // self._res_block
+                ) * self._res_block
+                self._dev_state = ops_integrate.init_state(
+                    self._res_nstate, depth=16
+                )
         else:
             # scalar oracle state per pixel (Continuous mode integration)
             self._pixels = [
@@ -221,7 +260,7 @@ class Prophesee:
         if start >= len(t):
             self._eof = True
             return None
-        view_interval = PROPHESEE_SOURCE_TPS // 60
+        view_interval = PROPHESEE_SOURCE_TPS // self.view_fps
         limit = self.running_t + view_interval
         beyond = np.flatnonzero(t[start:] > limit)
         end = start + int(beyond[0]) + 1 if len(beyond) else len(t)
@@ -255,6 +294,13 @@ class Prophesee:
 
         from ..ops import dvs_batch as B
 
+        ns = int(self._dev_state.length.shape[0])
+        if ns != len(mask):  # resident engine pads the plane to blocks
+            padw = (0, ns - len(mask))
+            intensity = np.pad(intensity, padw)
+            fv = np.pad(fv, padw)
+            time = np.pad(time, padw)
+            mask = np.pad(mask, padw)
         fn = B.make_masked_interval(self._tp())
         st, sd, stt, sm, _ = fn(
             self._dev_state,
@@ -315,12 +361,80 @@ class Prophesee:
         )
         parts: list = []
         if lanes:
-            parts = self._run_lanes_scanned(lanes)
+            if getattr(self, "_engine", "scan") == "resident":
+                parts = self._run_lanes_resident(lanes)
+            else:
+                parts = self._run_lanes_scanned(lanes)
         arr = self._events_from_parts(parts)
         self.video.encoder.ingest_event_array(arr)
         if self._eof:
             self._end_events_batched()
         return arr
+
+    def _run_lanes_resident(self, lanes) -> list:
+        """Lane sub-steps through the T-resident Pallas kernel (SURVEY P5):
+        one device dispatch per <=64-lane group, state VMEM-resident across
+        the group, in-kernel per-slot compaction. Event content is
+        identical to the scan/oracle paths (pinned by tests); output order
+        is interval-major, per-pixel chronological within a group, and
+        groups run in lane order."""
+        import jax
+        import jax.numpy as jnp
+
+        from ..ops import dvs_batch as B
+        from ..ops import fused_resident as FR
+        from ..runtime import bound_jit_mappings
+
+        n = self.plane.volume()
+        ns = self._res_nstate
+        width = self.plane.width
+        parts: list = []
+        GROUP = 64  # counts vector holds one lane per sub-step; T = 2L
+        for g0 in range(0, len(lanes), GROUP):
+            group = lanes[g0 : g0 + GROUP]
+            L_pad = 1 << (len(group) - 1).bit_length()
+            L_pad = self._res_lpad = max(
+                L_pad, getattr(self, "_res_lpad", 0)
+            )
+            gi, gf, gt, gm, ti, tf, tt, tm = B.stack_lanes(group, L_pad)
+            T = 2 * L_pad
+            inten = np.zeros((T, ns), np.float32)
+            tsp = np.zeros((T, ns), np.float32)
+            fvw = np.zeros((T, ns), np.int32)
+            inten[0::2, :n] = gi
+            inten[1::2, :n] = ti
+            tsp[0::2, :n] = gt
+            tsp[1::2, :n] = tt
+            fvw[0::2, :n] = gf | (gm.astype(np.int32) << 8)
+            fvw[1::2, :n] = tf | (tm.astype(np.int32) << 8)
+            active_total = int(gm.sum() + tm.sum())
+            cap = 1 << max(
+                16, (max(64, active_total * 4) - 1).bit_length()
+            )
+            cap = self._res_cap = max(cap, getattr(self, "_res_cap", 0))
+            st0 = self._dev_state
+            while True:
+                bound_jit_mappings()
+                fn = FR.make_dvs_chunk_resident(
+                    self._tp(), cap, self._res_block,
+                    interpret=self._res_interpret, depth=16,
+                )
+                outs = fn(
+                    st0, jnp.asarray(inten), jnp.asarray(tsp),
+                    jnp.asarray(fvw),
+                )
+                st, pixd, tvals, total, _pi, _pmax, counts = outs
+                total_i = int(total)
+                if total_i <= cap:
+                    break
+                cap = self._res_cap = cap * 2  # overflow: rerun larger
+            self._dev_state = st
+            ap, at = FR.assemble_resident_events(
+                np.asarray(pixd[:total_i]), np.asarray(tvals[:total_i]),
+                np.asarray(counts),
+            )
+            parts.append(B.wire_to_events(ap, at, width))
+        return parts
 
     def _run_lanes_scanned(self, lanes) -> list:
         """All lanes in ONE device dispatch (lax.scan over the lane axis);

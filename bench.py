@@ -27,6 +27,12 @@ Measured loops:
   the CPU XLA chunk path on a small plane, byte-compared — a recorded
   gate that the Mosaic kernel matches the reference semantics on real
   hardware.
+- dvs device: the resident DVS engine's integration rate over
+  pre-planned lane batches (chained dispatches, one sync) — the device
+  analogue of the mono loop for event-camera input.
+- dvs e2e: the full host-driven Prophesee source (windowed consume ->
+  encoder), which on this harness is bounded by per-window tunnel RTTs
+  and the 1-core host, not the kernel.
 """
 
 import json
@@ -274,6 +280,90 @@ def _dvs_loop(n_events=100_000, W=346, H=260, span=200_000):
     return n_events / dt / 1e6
 
 
+def _dvs_device_loop(jax, jnp, n_events=600_000, W=346, H=260, windows=4):
+    """Device integration rate of the batched DVS path in bulk-transcode
+    batches (Prophesee view_fps lowered, the offline-file mode): lanes are
+    planned host-side up front (the planner is numpy; on a locally attached
+    host it overlaps the device), then the T-resident DVS kernel's
+    dispatches (ops/fused_resident.make_dvs_chunk_resident — the production
+    'resident' engine) chain with no intermediate sync — the DVS analogue
+    of the mono/color device loops. Ref serial loop: prophesee.rs:116-297."""
+    from adder_tpu.core.types import Mode, TimeMode
+    from adder_tpu.ops import dvs_batch as B
+    from adder_tpu.ops import fused_resident as FR
+    from adder_tpu.ops import integrate as I
+
+    rng = np.random.default_rng(5)
+    n = W * H
+    BLOCK = 4096
+    ns = ((n + BLOCK - 1) // BLOCK) * BLOCK
+    t = np.sort(rng.integers(1000, 400_000, n_events)).astype(np.uint32)
+    x = rng.integers(0, W, n_events)
+    y = rng.integers(0, H, n_events)
+    pol = rng.integers(0, 2, n_events)
+    # mirrors Prophesee._tp(): Continuous, AbsoluteT, dtm = 2*ref
+    # (ref: prophesee.rs:70-76)
+    p = I.TranscodeParams(
+        mode=int(Mode.Continuous),
+        time_mode=int(TimeMode.AbsoluteT),
+        ref_time=255,
+        delta_t_max=510,
+        c_thresh_max=10,
+        c_increase_velocity=1,
+    )
+    DEPTH = 16
+    last_t = np.zeros(n, np.uint32)
+    last_ln = np.full(n, float(np.log1p(128.0 / 255.0)), np.float64)
+    bounds = np.linspace(0, n_events, windows + 1).astype(np.int64)
+    planes = []  # (intensity, tspan, fvw) f32 stacks per window
+    lpad = 0
+    for w in range(windows):
+        a, b = bounds[w], bounds[w + 1]
+        lanes = B.plan_dvs_batch(
+            t[a:b], x[a:b], y[a:b], pol[a:b], W, n, last_t, last_ln,
+            0.02, p.ref_time,
+        )
+        lanes = lanes[:64]  # one <=64-lane group per dispatch
+        lpad = max(lpad, 1 << (len(lanes) - 1).bit_length())
+        planes.append(lanes)
+    T = 2 * lpad
+    cap = 1 << (8 * (n_events // windows) - 1).bit_length()
+    stacked = []
+    for lanes in planes:
+        gi, gf, gt, gm, ti, tf, tt, tm = B.stack_lanes(lanes, lpad)
+        inten = np.zeros((T, ns), np.float32)
+        tsp = np.zeros((T, ns), np.float32)
+        fvw = np.zeros((T, ns), np.int32)
+        inten[0::2, :n] = gi
+        inten[1::2, :n] = ti
+        tsp[0::2, :n] = gt
+        tsp[1::2, :n] = tt
+        fvw[0::2, :n] = gf | (gm.astype(np.int32) << 8)
+        fvw[1::2, :n] = tf | (tm.astype(np.int32) << 8)
+        stacked.append(
+            tuple(
+                jax.device_put(jnp.asarray(a)) for a in (inten, tsp, fvw)
+            )
+        )
+    fn = FR.make_dvs_chunk_resident(p, cap, BLOCK, depth=DEPTH)
+    st = I.init_state(ns, depth=DEPTH)
+    outs = fn(st, *stacked[0])
+    assert int(jax.device_get(outs[3])) <= cap
+    st = outs[0]
+    t0 = time.perf_counter()
+    totals = []
+    for s in stacked[1:]:
+        outs = fn(st, *s)
+        st = outs[0]
+        totals.append(outs[3])
+    int(jax.device_get(totals[-1]))
+    dt = time.perf_counter() - t0
+    for tot in jax.device_get(totals):
+        assert int(tot) <= cap, "dvs event capacity overflow in bench"
+    done = n_events - int(bounds[1])  # window 0 was the warmup
+    return done / dt / 1e6
+
+
 def main():
     import jax
     import jax.numpy as jnp
@@ -315,6 +405,12 @@ def main():
     # host-driven sections already cost minutes on a slow bench host;
     # protect the headline by skipping DVS when the budget is nearly gone
     if time.perf_counter() - start < 1500:
+        try:
+            dvsd = _dvs_device_loop(jax, jnp)
+            _emit("prophesee_dvs_device_integrate", dvsd, "Mev/s")
+        except Exception as e:
+            print(f"# dvs device bench failed: {e}", file=sys.stderr)
+        _mark("dvs_device")
         try:
             dvs = _dvs_loop()
             _emit("prophesee_to_adder_dvs_transcode", dvs, "Mev/s")

@@ -98,10 +98,10 @@ def _make_raw(path, w, h, events):
         f.write(rec.tobytes())
 
 
-def _run(path, batched, multi_mode):
+def _run(path, batched, multi_mode, engine=None):
     from adder_tpu.transcoder.prophesee import Prophesee
 
-    src = Prophesee(20, str(path), batched=batched)
+    src = Prophesee(20, str(path), batched=batched, engine=engine)
     out = open(str(path) + (".b" if batched else ".o"), "wb")
     src.write_out(
         SourceCamera.Dvs, TimeMode.AbsoluteT, multi_mode, None,
@@ -144,6 +144,44 @@ def test_batched_matches_oracle(tmp_path, multi_mode):
         assert oracle[key] == batched[key], (
             key, oracle[key][:6], batched[key][:6]
         )
+
+
+def _check_resident_matches_scan(tmp_path, multi_mode, n_events):
+    """The T-resident Pallas DVS engine (lane sub-steps as kernel
+    intervals, prophesee._run_lanes_resident) must reproduce the scan
+    engine's per-pixel event streams bit-for-bit — and, transitively, the
+    scalar oracle's (test_batched_matches_oracle)."""
+    w, h = 14, 10
+    rng = np.random.default_rng(11)
+    events = []
+    t = 10
+    for _ in range(n_events):
+        t += int(rng.integers(1, 1500))
+        events.append(
+            (t, int(rng.integers(0, w)), int(rng.integers(0, h)),
+             int(rng.integers(0, 2)))
+        )
+    raw = tmp_path / "res.raw"
+    _make_raw(raw, w, h, events)
+
+    scan = _run(raw, batched=True, multi_mode=multi_mode, engine="scan")
+    resident = _run(
+        raw, batched=True, multi_mode=multi_mode, engine="resident"
+    )
+    assert set(scan) == set(resident)
+    for key in sorted(scan):
+        assert scan[key] == resident[key], (
+            key, scan[key][:6], resident[key][:6]
+        )
+
+
+def test_resident_engine_matches_scan(tmp_path):
+    _check_resident_matches_scan(tmp_path, PixelMultiMode.Collapse, 120)
+
+
+@pytest.mark.slow
+def test_resident_engine_matches_scan_normal_long(tmp_path):
+    _check_resident_matches_scan(tmp_path, PixelMultiMode.Normal, 260)
 
 
 @pytest.mark.parametrize(
