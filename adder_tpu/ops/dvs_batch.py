@@ -56,7 +56,9 @@ def masked_interval(
     """
     old = I._S.unstack(state)
     s = I._S.unstack(state)
-    slots, running = I._interval_core(s, intensity, frame_val, time, p)
+    slots, running = I._interval_core(
+        s, intensity, frame_val, time, p, ovf_mask=mask
+    )
 
     m = mask
     for k in range(len(s.nd)):
@@ -108,7 +110,37 @@ class DvsLane(NamedTuple):
     tick_time: np.ndarray
 
 
-def plan_dvs_batch(
+class DvsCompact(NamedTuple):
+    """Compact (per-active-event) DVS lane plan: one row per source event
+    that survives the out-of-order drop AND does device work (gap and/or
+    tick sub-step), in lane-major order. The device scatters these rows
+    into the (T, N) lane planes (fused_resident
+    make_dvs_chunk_resident_compact) — the host never materializes dense
+    per-lane planes, so h2d volume is O(events), not O(lanes * plane)."""
+
+    pix: np.ndarray  # (E,) int32 flat pixel index
+    lane: np.ndarray  # (E,) int32 per-pixel occurrence number
+    gap_on: np.ndarray  # (E,) bool
+    gap_fv: np.ndarray  # (E,) int32
+    gap_int: np.ndarray  # (E,) float32
+    gap_time: np.ndarray  # (E,) float32
+    tick_on: np.ndarray  # (E,) bool
+    tick_fv: np.ndarray  # (E,) int32
+    tick_int: np.ndarray  # (E,) float32
+    tick_time: np.ndarray  # (E,) float32
+
+    @property
+    def n_lanes(self) -> int:
+        return int(self.lane.max()) + 1 if len(self.lane) else 0
+
+    def lane_slice(self, lane_lo: int, lane_hi: int) -> "DvsCompact":
+        """Events whose lane falls in [lane_lo, lane_hi), rebased to 0."""
+        sel = (self.lane >= lane_lo) & (self.lane < lane_hi)
+        out = DvsCompact(*(f[sel] for f in self))
+        return out._replace(lane=(out.lane - lane_lo).astype(np.int32))
+
+
+def plan_dvs_batch_compact(
     ts: np.ndarray,
     xs: np.ndarray,
     ys: np.ndarray,
@@ -119,11 +151,13 @@ def plan_dvs_batch(
     last_ln: np.ndarray,  # (N,) float64, updated in place
     theta: float,
     ref: int,
-) -> list:
+) -> DvsCompact:
     """Bucket a time-ordered DVS batch into per-pixel lanes and replay the
     sequential ln-chain exactly as the scalar loop does
-    (ref: prophesee.rs:175-249). Returns a list of DvsLane; mutates
-    last_t / last_ln to the post-batch state."""
+    (ref: prophesee.rs:175-249). Returns the compact plan; mutates
+    last_t / last_ln to the post-batch state. All math is f64 host numpy —
+    identical to the reference's serial chain (and to the scalar oracle
+    path, which the parity tests pin)."""
     pix = ys.astype(np.int64) * width + xs.astype(np.int64)
     # lane index = per-pixel occurrence number (stream is time-ordered, so
     # per-pixel order is preserved by stable sort)
@@ -139,7 +173,7 @@ def plan_dvs_batch(
     lane = np.empty(len(sp), np.int64)
     lane[order] = lane_sorted
 
-    lanes = []
+    parts = []
     k_max = int(lane.max()) + 1 if len(lane) else 0
     for k in range(k_max):
         sel = lane == k
@@ -170,29 +204,73 @@ def plan_dvs_batch(
         last_ln[i] = np.where(keep, ln_after, last_ln[i])
         last_t[i] = np.where(keep, t, lt).astype(last_t.dtype)
 
-        def dense(vals, dtype, sel_mask):
+        act = gap_on | tick_on
+        parts.append(
+            (
+                i[act].astype(np.int32),
+                np.full(int(act.sum()), k, np.int32),
+                gap_on[act],
+                last_val[act].astype(np.int64).astype(np.int32),
+                (last_val * gap_n)[act].astype(np.float32),
+                (gap_n * ref)[act].astype(np.float32),
+                tick_on[act],
+                new_val_c[act].astype(np.int64).astype(np.int32),
+                new_val_c[act].astype(np.float32),
+                np.full(int(act.sum()), float(ref), np.float32),
+            )
+        )
+    if not parts:
+        return DvsCompact(
+            np.zeros(0, np.int32), np.zeros(0, np.int32),
+            np.zeros(0, bool), np.zeros(0, np.int32),
+            np.zeros(0, np.float32), np.zeros(0, np.float32),
+            np.zeros(0, bool), np.zeros(0, np.int32),
+            np.zeros(0, np.float32), np.zeros(0, np.float32),
+        )
+    return DvsCompact(
+        *(np.concatenate([p[j] for p in parts]) for j in range(10))
+    )
+
+
+def plan_dvs_batch(
+    ts: np.ndarray,
+    xs: np.ndarray,
+    ys: np.ndarray,
+    ps: np.ndarray,
+    width: int,
+    n: int,
+    last_t: np.ndarray,  # (N,) uint32, updated in place
+    last_ln: np.ndarray,  # (N,) float64, updated in place
+    theta: float,
+    ref: int,
+) -> list:
+    """Dense-lane view of plan_dvs_batch_compact (one shared math path):
+    returns a list of DvsLane with (N,) planes, for the XLA scan engine
+    and per-lane masked calls. Mutates last_t / last_ln."""
+    c = plan_dvs_batch_compact(
+        ts, xs, ys, ps, width, n, last_t, last_ln, theta, ref
+    )
+    lanes = []
+    for k in range(c.n_lanes):
+        sel = c.lane == k
+        i = c.pix[sel].astype(np.int64)
+        gap_on, tick_on = c.gap_on[sel], c.tick_on[sel]
+
+        def dense(vals, dtype, sub):
             out = np.zeros(n, dtype)
-            out[i[sel_mask]] = vals[sel_mask]
+            out[i[sub]] = vals[sub]
             return out
 
         lanes.append(
             DvsLane(
                 gap_mask=dense(gap_on, bool, gap_on),
-                gap_fv=dense(last_val.astype(np.int64), np.int32, gap_on),
-                gap_intensity=dense(
-                    (last_val * gap_n).astype(np.float32), np.float32, gap_on
-                ),
-                gap_time=dense(
-                    (gap_n * ref).astype(np.float32), np.float32, gap_on
-                ),
+                gap_fv=dense(c.gap_fv[sel], np.int32, gap_on),
+                gap_intensity=dense(c.gap_int[sel], np.float32, gap_on),
+                gap_time=dense(c.gap_time[sel], np.float32, gap_on),
                 tick_mask=dense(tick_on, bool, tick_on),
-                tick_fv=dense(new_val_c.astype(np.int64), np.int32, tick_on),
-                tick_intensity=dense(
-                    new_val_c.astype(np.float32), np.float32, tick_on
-                ),
-                tick_time=dense(
-                    np.full(len(i), float(ref), np.float32), np.float32, tick_on
-                ),
+                tick_fv=dense(c.tick_fv[sel], np.int32, tick_on),
+                tick_intensity=dense(c.tick_int[sel], np.float32, tick_on),
+                tick_time=dense(c.tick_time[sel], np.float32, tick_on),
             )
         )
     return lanes

@@ -197,9 +197,8 @@ def _kernel_body(p: ops.TranscodeParams, block: int, pack: int,
                 # which the TPU flushes to zero (observed: compiled kernel
                 # read active=0 everywhere); normal floats bitcast to i32
                 # and back are safe.
-                intensity = _bitcast_f32(r8(frame_ref[:, 0:1, :]))
-                tspan = _bitcast_f32(r8(frame_ref[:, 1:2, :]))
-                w = r8(frame_ref[:, 2:3, :])
+                wcol = 3 if dvs == "davis" else 2
+                w = r8(frame_ref[:, wcol : wcol + 1, :])
                 fv = w & 0xFF
                 active = ((w >> 8) & 1) != 0
                 old = ops._S()
@@ -216,9 +215,46 @@ def _kernel_body(p: ops.TranscodeParams, block: int, pack: int,
                     s.length, s.base_val, s.c_thresh, s.cic, s.lft,
                     s.running_t, s.need_pop, s.dtm_reached, s.popped_dtm,
                 )
-                slots, (run_val, run_has) = ops._interval_core(
-                    s, intensity, fv, tspan, p, emit_running=emit_running,
-                )
+                if dvs == "davis":
+                    # DAVIS op order (ref: davis.rs:235-465, in-kernel
+                    # ops/dvs_batch.davis_event_interval): pop_top ->
+                    # integrate(held intensity over the gap) -> pop_top ->
+                    # contrast stage against the post-ln-step frame value
+                    first_int = _bitcast_f32(r8(frame_ref[:, 0:1, :]))
+                    dt_ticks = _bitcast_f32(r8(frame_ref[:, 1:2, :]))
+                    fval = _bitcast_f32(r8(frame_ref[:, 2:3, :]))
+                    d0, t0, m0 = ops._pop_top_event(
+                        s, first_int, s.need_pop, p
+                    )
+                    ops._integrate(s, first_int, dt_ticks, p,
+                                   ovf_mask=active)
+                    d8, t8, m8 = ops._pop_top_event(
+                        s, first_int, s.need_pop, p
+                    )
+                    bv, c = s.base_val, s.c_thresh
+                    changed = active & (
+                        (fv < jnp.maximum(bv - c, 0))
+                        | (fv > jnp.minimum(bv + c, 255))
+                    )
+                    pop_slots = ops._pop_best_events(s, fval, changed, p)
+                    s.base_val = jnp.where(changed, fv, s.base_val)
+                    d7, t7, m7 = ops._set_d_for_continuous(
+                        s, fval, changed, p
+                    )
+                    slots = (
+                        [(d0, t0, m0), (d8, t8, m8)]
+                        + list(pop_slots)
+                        + [(d7, t7, m7)]
+                    )
+                    z = jnp.zeros_like(s.base_val)
+                    run_val, run_has = z.astype(jnp.uint8), z != 0
+                else:
+                    intensity = _bitcast_f32(r8(frame_ref[:, 0:1, :]))
+                    tspan = _bitcast_f32(r8(frame_ref[:, 1:2, :]))
+                    slots, (run_val, run_has) = ops._interval_core(
+                        s, intensity, fv, tspan, p,
+                        emit_running=emit_running, ovf_mask=active,
+                    )
                 # only active pixels commit; the rest roll back (their
                 # garbage inputs may have popped/moved c_thresh)
                 for k in range(depth):
@@ -526,7 +562,7 @@ def make_resident_call(
             (1, c, B), lambda i, t: (t, 0, i), memory_space=pltpu.VMEM
         )
 
-    chans = 3 if dvs else 1
+    chans = 4 if dvs == "davis" else (3 if dvs else 1)
     in_specs = [
         pl.BlockSpec((1, 1), lambda i, t: (0, 0), memory_space=pltpu.SMEM),
         pl.BlockSpec(memory_space=pltpu.SMEM),  # offset_in
@@ -766,6 +802,63 @@ def make_dvs_chunk_resident(
         buf_pixd = bufp.reshape(-1)[:event_cap]
         buf_t = buft.reshape(-1)[:event_cap]
         return state, buf_pixd, buf_t, total, per_interval, pmax, counts
+
+    return jax.jit(chunk_fn)
+
+
+@functools.lru_cache(maxsize=32)
+def make_dvs_chunk_resident_compact(
+    p: ops.TranscodeParams,
+    event_cap: int,
+    T: int,
+    n: int,
+    pallas_block: int = 4096,
+    n_real: int = 0,
+    interpret: bool = False,
+    depth: int = 16,
+):
+    """make_dvs_chunk_resident fed by COMPACT per-event rows instead of
+    host-built dense planes: the (T, N) lane planes are scattered on
+    DEVICE from (E,) arrays, so host->device volume is O(events) — the
+    round-3 e2e path shipped 3 dense (T, N) f32 planes per window
+    (~24*T*N bytes), which strangled the whole DVS pipeline on a slow
+    link (round-3 verdict item 1; ref: prophesee.rs:116-297).
+
+    Signature: (state, pix (E,) i32, lane (E,) i32,
+    gap_on (E,) bool, gap_fv i32, gap_int f32, gap_time f32,
+    tick_on bool, tick_fv i32, tick_int f32, tick_time f32) ->
+    (state, ev_pixd, ev_t, total, per_interval, pack_max, counts).
+    Rows with gap_on/tick_on False (padding included) scatter nowhere.
+    Event/overflow semantics identical to make_dvs_chunk_resident."""
+    inner = make_dvs_chunk_resident(
+        p, event_cap, pallas_block, n_real, interpret, depth
+    )
+
+    def chunk_fn(state, pix, lane, gap_on, gap_fv, gap_int, gap_time,
+                 tick_on, tick_fv, tick_int, tick_time):
+        nn = jnp.int32(n)
+        pix = pix.astype(_i32)
+        lane = lane.astype(_i32)
+        # flat (T*N) destination per sub-step; inactive rows -> T*N (OOB,
+        # dropped by scatter mode=drop)
+        oob = jnp.int32(T * n)
+        gdst = jnp.where(gap_on, (2 * lane) * nn + pix, oob)
+        tdst = jnp.where(tick_on, (2 * lane + 1) * nn + pix, oob)
+        dst = jnp.concatenate([gdst, tdst])
+
+        def plane(gv, tv, dtype):
+            z = jnp.zeros((T * n,), dtype)
+            vals = jnp.concatenate([gv.astype(dtype), tv.astype(dtype)])
+            return z.at[dst].set(vals, mode="drop").reshape(T, n)
+
+        inten = plane(gap_int, tick_int, _f32)
+        tsp = plane(gap_time, tick_time, _f32)
+        fvw = plane(
+            gap_fv | (gap_on.astype(_i32) << 8),
+            tick_fv | (tick_on.astype(_i32) << 8),
+            _i32,
+        )
+        return inner(state, inten, tsp, fvw)
 
     return jax.jit(chunk_fn)
 

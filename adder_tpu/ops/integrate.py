@@ -438,8 +438,12 @@ def _set_d_for_continuous(s: _S, intensity, mask, p: TranscodeParams):
 # --- integrate (ref: event_pixel_tree.rs:317-479) ---------------------------
 
 
-def _integrate(s: _S, intensity, time, p: TranscodeParams):
-    """Vectorized PixelArena::integrate over all pixels."""
+def _integrate(s: _S, intensity, time, p: TranscodeParams, ovf_mask=None):
+    """Vectorized PixelArena::integrate over all pixels. `ovf_mask`, when
+    given, limits the scalar depth-overflow counter to those pixels (DVS
+    masked-interval callers roll back inactive pixels' state but the
+    scalar counter cannot be rolled back per-pixel — garbage inputs on
+    masked-off pixels must not count)."""
     # tail D re-aim for virgin tail nodes (ref: :332-335)
     tail_virgin = (s.tail_pick(s.ndt, 0.0) == 0.0) & (
         s.tail_pick(s.ni, 0.0) == 0.0
@@ -539,7 +543,8 @@ def _integrate(s: _S, intensity, time, p: TranscodeParams):
             s.ndt[k + 1] = jnp.where(fire, 0.0, s.ndt[k + 1])
             s.bd[k + 1] = jnp.where(fire, -1, s.bd[k + 1])
         else:
-            s.overflow = s.overflow + jnp.sum(fire.astype(_i32))
+            fire_c = fire if ovf_mask is None else (fire & ovf_mask)
+            s.overflow = s.overflow + jnp.sum(fire_c.astype(_i32))
         s.length = jnp.where(fire, k + 2, s.length)
 
         # break conditions for the next iteration (idx = k+1)
@@ -631,7 +636,7 @@ def integrate_interval(
 
 
 def _interval_core(s: _S, intensity, frame_val, time, p: TranscodeParams,
-                   emit_running: bool = True):
+                   emit_running: bool = True, ovf_mask=None):
     """The interval logic on an unstacked state; shared by the XLA path and
     the Pallas kernel (ops/pallas_kernel.py). Mutates `s`; returns
     (K_SLOTS list of (d, t, mask), (running_val, running_has)).
@@ -659,7 +664,7 @@ def _interval_core(s: _S, intensity, frame_val, time, p: TranscodeParams,
         m7 = jnp.zeros_like(m0)
 
     # 3. integrate
-    _integrate(s, intensity, time, p)
+    _integrate(s, intensity, time, p, ovf_mask=ovf_mask)
 
     # 4. post-integration pop_top
     d8, t8, m8 = _pop_top_event(s, intensity, s.need_pop, p)

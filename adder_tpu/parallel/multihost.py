@@ -41,6 +41,7 @@ from .sharding import make_mesh  # noqa: F401
 
 _PART_MAGIC = "adpt"
 _PART_VERSION = 1
+_INIT_DONE = [False]  # fallback init flag if the private global_state moves
 
 
 def init_multihost(coordinator_address: str | None = None,
@@ -54,8 +55,18 @@ def init_multihost(coordinator_address: str | None = None,
         "JAX_COORDINATOR_ADDRESS" not in os.environ
     ):
         return False
-    if jax.process_count() > 1:
-        return True  # already initialized
+    # IMPORTANT: do not call jax.process_count()/jax.devices() here — any
+    # backend-initializing call before jax.distributed.initialize makes
+    # initialize() raise ("backends already initialized"). Detect a prior
+    # initialize via the distributed global state instead.
+    try:
+        from jax._src import distributed as _jdist
+
+        if getattr(_jdist.global_state, "client", None) is not None:
+            return True  # already initialized
+    except Exception:  # pragma: no cover - private-API drift fallback
+        if _INIT_DONE[0]:
+            return True
     kwargs = {}
     if coordinator_address is not None:
         kwargs["coordinator_address"] = coordinator_address
@@ -64,6 +75,7 @@ def init_multihost(coordinator_address: str | None = None,
     if process_id is not None:
         kwargs["process_id"] = process_id
     jax.distributed.initialize(**kwargs)
+    _INIT_DONE[0] = True
     return True
 
 

@@ -354,16 +354,22 @@ class Prophesee:
             raise EOFError("prophesee source exhausted")
         ts, xs, ys, ps = batch
         n = self.plane.volume()
-        lanes = B.plan_dvs_batch(
-            ts, xs, ys, ps, self.plane.width, n,
-            self.dvs_last_timestamps, self.dvs_last_ln_val,
-            self.camera_theta, self.video.ref_time,
-        )
         parts: list = []
-        if lanes:
-            if getattr(self, "_engine", "scan") == "resident":
-                parts = self._run_lanes_resident(lanes)
-            else:
+        if getattr(self, "_engine", "scan") == "resident":
+            plan = B.plan_dvs_batch_compact(
+                ts, xs, ys, ps, self.plane.width, n,
+                self.dvs_last_timestamps, self.dvs_last_ln_val,
+                self.camera_theta, self.video.ref_time,
+            )
+            if len(plan.pix):
+                parts = self._run_lanes_resident(plan)
+        else:
+            lanes = B.plan_dvs_batch(
+                ts, xs, ys, ps, self.plane.width, n,
+                self.dvs_last_timestamps, self.dvs_last_ln_val,
+                self.camera_theta, self.video.ref_time,
+            )
+            if lanes:
                 parts = self._run_lanes_scanned(lanes)
         arr = self._events_from_parts(parts)
         self.video.encoder.ingest_event_array(arr)
@@ -371,43 +377,52 @@ class Prophesee:
             self._end_events_batched()
         return arr
 
-    def _run_lanes_resident(self, lanes) -> list:
+    def _run_lanes_resident(self, plan) -> list:
         """Lane sub-steps through the T-resident Pallas kernel (SURVEY P5):
         one device dispatch per <=64-lane group, state VMEM-resident across
         the group, in-kernel per-slot compaction. Event content is
         identical to the scan/oracle paths (pinned by tests); output order
         is interval-major, per-pixel chronological within a group, and
-        groups run in lane order."""
-        import jax
+        groups run in lane order.
+
+        `plan` is a dvs_batch.DvsCompact: per-event rows ship to the
+        device and the (T, N) lane planes are scattered THERE
+        (make_dvs_chunk_resident_compact), so host work and h2d volume are
+        O(events) — not O(lanes * plane) as in round 3."""
         import jax.numpy as jnp
 
         from ..ops import dvs_batch as B
         from ..ops import fused_resident as FR
         from ..runtime import bound_jit_mappings
 
-        n = self.plane.volume()
         ns = self._res_nstate
         width = self.plane.width
         parts: list = []
         GROUP = 64  # counts vector holds one lane per sub-step; T = 2L
-        for g0 in range(0, len(lanes), GROUP):
-            group = lanes[g0 : g0 + GROUP]
-            L_pad = 1 << (len(group) - 1).bit_length()
+        n_lanes = plan.n_lanes
+        for g0 in range(0, n_lanes, GROUP):
+            g = plan.lane_slice(g0, g0 + GROUP) if n_lanes > GROUP else plan
+            L = min(n_lanes - g0, GROUP)
+            L_pad = 1 << (L - 1).bit_length()
             L_pad = self._res_lpad = max(
                 L_pad, getattr(self, "_res_lpad", 0)
             )
-            gi, gf, gt, gm, ti, tf, tt, tm = B.stack_lanes(group, L_pad)
             T = 2 * L_pad
-            inten = np.zeros((T, ns), np.float32)
-            tsp = np.zeros((T, ns), np.float32)
-            fvw = np.zeros((T, ns), np.int32)
-            inten[0::2, :n] = gi
-            inten[1::2, :n] = ti
-            tsp[0::2, :n] = gt
-            tsp[1::2, :n] = tt
-            fvw[0::2, :n] = gf | (gm.astype(np.int32) << 8)
-            fvw[1::2, :n] = tf | (tm.astype(np.int32) << 8)
-            active_total = int(gm.sum() + tm.sum())
+            E = len(g.pix)
+            E_pad = 1 << max(10, (E - 1).bit_length())
+            E_pad = self._res_epad = max(
+                E_pad, getattr(self, "_res_epad", 0)
+            )
+            padw = (0, E_pad - E)
+            args = (
+                np.pad(g.pix, padw), np.pad(g.lane, padw),
+                np.pad(g.gap_on, padw), np.pad(g.gap_fv, padw),
+                np.pad(g.gap_int, padw), np.pad(g.gap_time, padw),
+                np.pad(g.tick_on, padw), np.pad(g.tick_fv, padw),
+                np.pad(g.tick_int, padw), np.pad(g.tick_time, padw),
+            )
+            args = tuple(jnp.asarray(a) for a in args)
+            active_total = int(g.gap_on.sum() + g.tick_on.sum())
             cap = 1 << max(
                 16, (max(64, active_total * 4) - 1).bit_length()
             )
@@ -415,14 +430,11 @@ class Prophesee:
             st0 = self._dev_state
             while True:
                 bound_jit_mappings()
-                fn = FR.make_dvs_chunk_resident(
-                    self._tp(), cap, self._res_block,
+                fn = FR.make_dvs_chunk_resident_compact(
+                    self._tp(), cap, T, ns, self._res_block,
                     interpret=self._res_interpret, depth=16,
                 )
-                outs = fn(
-                    st0, jnp.asarray(inten), jnp.asarray(tsp),
-                    jnp.asarray(fvw),
-                )
+                outs = fn(st0, *args)
                 st, pixd, tvals, total, _pi, _pmax, counts = outs
                 total_i = int(total)
                 if total_i <= cap:

@@ -211,7 +211,12 @@ class ShardedVideo(Video):
                 pending["state_before"], pending["frames_u8"], pending["t"],
                 pending["run0"],
             )
-        self.state = new_state
+        if not self._inflight:
+            self.state = new_state
+        # else: self.state already holds the NEWEST in-flight chunk's
+        # optimistic output (submit_chunk); reverting to this older
+        # chunk's state would corrupt every later chunk (see
+        # Video._collect_oldest for the full contract)
         self._last_runnings = runnings
         if self.feature_detection or self._keep_running_frame:
             self.running_intensities = np.asarray(

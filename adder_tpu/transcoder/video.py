@@ -548,7 +548,6 @@ class Video:
                 pending["state_before"], pending["frames_u8"], pending["t"],
                 pending["run0"],
             )
-        self.state = new_state
         if depth_rerun and self._inflight:
             # downstream in-flight chunks consumed the corrupted shallow
             # state; recompute the chain from the corrected state
@@ -560,6 +559,14 @@ class Video:
                 p2["outs"] = fn2(st, p2["frames_u8"], p2["t"], p2["run0"])
                 st = p2["outs"][0]
             self.state = st
+        elif not self._inflight:
+            self.state = new_state
+        # else: newer chunks are still in flight and self.state already
+        # points at the NEWEST chunk's (optimistic) output state from
+        # submit_chunk; reverting it to this older chunk's output would
+        # make the next submit integrate from stale state (capacity/pack
+        # reruns recover events only — the carried state is unchanged —
+        # so the in-flight chain stays valid without recompute)
         self._last_runnings = runnings  # (T, N) u8, fetched lazily on demand
         if self.feature_detection or self._keep_running_frame:
             self.running_intensities = np.asarray(

@@ -117,3 +117,64 @@ def test_sharded_video_raw_encoder_bytes_identical():
     svid.end_write_stream()
     assert out_sh.getvalue() == out_ref.getvalue()
     assert len(out_sh.getvalue()) > 33  # header + events actually written
+
+
+def _pipeline_stream(video_factory, frames_chunks, plane):
+    """Raw-encoded bytes from submit_chunk-ing every chunk up front (deep
+    pipelining: submit auto-collects once >2 are in flight) then flushing."""
+    out = io.BytesIO()
+    v = _configure(video_factory())
+    v.write_out(
+        SourceCamera.FramedU8, TimeMode.DeltaT, PixelMultiMode.Collapse,
+        None, EncoderType.Raw, EncoderOptions.default(plane), out,
+    )
+    for fr in frames_chunks:
+        v.submit_chunk(fr)
+    v.flush()
+    v.end_write_stream()
+    return out.getvalue()
+
+
+def _sequential_stream(video_factory, frames_chunks, plane):
+    out = io.BytesIO()
+    v = _configure(video_factory())
+    v.write_out(
+        SourceCamera.FramedU8, TimeMode.DeltaT, PixelMultiMode.Collapse,
+        None, EncoderType.Raw, EncoderOptions.default(plane), out,
+    )
+    for fr in frames_chunks:
+        v.collect_chunk(v.submit_chunk(fr))
+    v.flush()
+    v.end_write_stream()
+    return out.getvalue()
+
+
+def test_deep_pipelining_matches_sequential():
+    """>2 chunks in flight must not corrupt the carried state (advisor
+    round-3 high finding: _collect_oldest reverted self.state to the
+    OLDEST chunk's output, so chunk 4+ integrated from stale state)."""
+    plane = PlaneSize(16, 16, 1)
+    chunks = [_mk_frames(plane, 3, seed=s) for s in range(5)]
+    seq = _sequential_stream(lambda: Video(plane, Mode.FramePerfect),
+                             chunks, plane)
+    pipe = _pipeline_stream(lambda: Video(plane, Mode.FramePerfect),
+                            chunks, plane)
+    assert pipe == seq
+    assert len(seq) > 33
+
+
+def test_deep_pipelining_matches_sequential_sharded():
+    mesh = cpu_mesh(2)
+    if mesh is None:
+        pytest.skip("need 2 cpu devices")
+    plane = PlaneSize(16, 16, 1)
+    chunks = [_mk_frames(plane, 2, seed=10 + s) for s in range(5)]
+
+    def mk():
+        return ShardedVideo(plane, Mode.FramePerfect, mesh=cpu_mesh(2),
+                            interpret=True)
+
+    seq = _sequential_stream(mk, chunks, plane)
+    pipe = _pipeline_stream(mk, chunks, plane)
+    assert pipe == seq
+    assert len(seq) > 33
