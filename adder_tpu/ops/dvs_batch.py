@@ -406,7 +406,7 @@ def davis_event_interval(
     inten = first_integration.astype(_f32)
 
     d0, t0, m0 = I._pop_top_event(s, inten, s.need_pop, p)
-    I._integrate(s, inten, dt_ticks, p)
+    I._integrate(s, inten, dt_ticks, p, ovf_mask=mask)
     d8, t8, m8 = I._pop_top_event(s, inten, s.need_pop, p)
 
     fv_f = frame_val.astype(_f32)
@@ -469,7 +469,30 @@ class DavisLane(NamedTuple):
     fv8: np.ndarray  # (N,) i32
 
 
-def plan_davis_events(
+class DavisCompact(NamedTuple):
+    """Compact (per-active-event) DAVIS lane plan, lane-major. One device
+    sub-step per row; scattered into (T, 4, N) planes on device
+    (fused_resident.make_davis_chunk_resident_compact)."""
+
+    pix: np.ndarray  # (E,) int32
+    lane: np.ndarray  # (E,) int32
+    active: np.ndarray  # (E,) bool (True for real rows; padding is False)
+    first_int: np.ndarray  # (E,) float32
+    dt_ticks: np.ndarray  # (E,) float32
+    fval: np.ndarray  # (E,) float32
+    fv8: np.ndarray  # (E,) int32
+
+    @property
+    def n_lanes(self) -> int:
+        return int(self.lane.max()) + 1 if len(self.lane) else 0
+
+    def lane_slice(self, lane_lo: int, lane_hi: int) -> "DavisCompact":
+        sel = (self.lane >= lane_lo) & (self.lane < lane_hi)
+        out = DavisCompact(*(f[sel] for f in self))
+        return out._replace(lane=(out.lane - lane_lo).astype(np.int32))
+
+
+def plan_davis_events_compact(
     ts: np.ndarray,  # event times, microseconds
     xs: np.ndarray,
     ys: np.ndarray,
@@ -481,10 +504,12 @@ def plan_davis_events(
     dvs_c: float,
     ref: int,
     ticks_per_micro: float,
-) -> list:
+) -> DavisCompact:
     """Lane planner for DAVIS DVS events, replaying integrate_dvs_events'
     sequential ln chain (ref: davis.rs:235-465; the ln step is
-    MULTIPLICATIVE: last_ln *= exp(+-c))."""
+    MULTIPLICATIVE: last_ln *= exp(+-c)). Compact: one row per event that
+    does device work; all math f64 host numpy (one shared path — the
+    dense plan_davis_events is a view over this)."""
     pix = ys.astype(np.int64) * width + xs.astype(np.int64)
     order = np.argsort(pix, kind="stable")
     sp = pix[order]
@@ -496,7 +521,7 @@ def plan_davis_events(
     lane_of = np.empty(len(sp), np.int64)
     lane_of[order] = idx - seg_base
 
-    lanes = []
+    parts = []
     k_max = int(lane_of.max()) + 1 if len(lane_of) else 0
     for k in range(k_max):
         sel = lane_of == k
@@ -519,18 +544,64 @@ def plan_davis_events(
         last_ln[i] = np.where(active, ln2, ln)
         last_t[i] = t  # set on the skip path too (davis.rs:303)
 
+        parts.append(
+            (
+                i[active].astype(np.int32),
+                np.full(int(active.sum()), k, np.int32),
+                np.ones(int(active.sum()), bool),
+                first_int[active].astype(np.float32),
+                dt_ticks[active].astype(np.float32),
+                fval[active].astype(np.float32),
+                fval[active].astype(np.int64).astype(np.int32),
+            )
+        )
+    if not parts:
+        return DavisCompact(
+            np.zeros(0, np.int32), np.zeros(0, np.int32), np.zeros(0, bool),
+            np.zeros(0, np.float32), np.zeros(0, np.float32),
+            np.zeros(0, np.float32), np.zeros(0, np.int32),
+        )
+    return DavisCompact(
+        *(np.concatenate([p[j] for p in parts]) for j in range(7))
+    )
+
+
+def plan_davis_events(
+    ts: np.ndarray,
+    xs: np.ndarray,
+    ys: np.ndarray,
+    ons: np.ndarray,
+    width: int,
+    n: int,
+    last_t: np.ndarray,
+    last_ln: np.ndarray,
+    dvs_c: float,
+    ref: int,
+    ticks_per_micro: float,
+) -> list:
+    """Dense-lane view of plan_davis_events_compact for the XLA scan
+    engine. Mutates last_t / last_ln."""
+    c = plan_davis_events_compact(
+        ts, xs, ys, ons, width, n, last_t, last_ln, dvs_c, ref,
+        ticks_per_micro,
+    )
+    lanes = []
+    for k in range(c.n_lanes):
+        sel = c.lane == k
+        i = c.pix[sel].astype(np.int64)
+
         def dense(vals, dtype):
             out = np.zeros(n, dtype)
-            out[i[active]] = vals[active]
+            out[i] = vals
             return out
 
         lanes.append(
             DavisLane(
                 mask=dense(np.ones(len(i), bool), bool),
-                first_integration=dense(first_int.astype(np.float32), np.float32),
-                dt_ticks=dense(dt_ticks.astype(np.float32), np.float32),
-                frame_val=dense(fval.astype(np.float32), np.float32),
-                fv8=dense(fval.astype(np.int64), np.int32),
+                first_integration=dense(c.first_int[sel], np.float32),
+                dt_ticks=dense(c.dt_ticks[sel], np.float32),
+                frame_val=dense(c.fval[sel], np.float32),
+                fv8=dense(c.fv8[sel], np.int32),
             )
         )
     return lanes

@@ -863,6 +863,70 @@ def make_dvs_chunk_resident_compact(
     return jax.jit(chunk_fn)
 
 
+@functools.lru_cache(maxsize=32)
+def make_davis_chunk_resident_compact(
+    p: ops.TranscodeParams,
+    event_cap: int,
+    T: int,
+    n: int,
+    pallas_block: int = 4096,
+    n_real: int = 0,
+    interpret: bool = False,
+    depth: int = 16,
+):
+    """DAVIS DVS lanes through the T-resident kernel (dvs='davis' op
+    order: pop_top -> integrate(held gap) -> pop_top -> contrast stage,
+    ref davis.rs:235-465), fed by COMPACT per-event rows: the (T, 4, N)
+    lane planes [first_integration, dt_ticks, frame_val, fv8|active<<8]
+    are scattered on device. One sub-step per lane (T = lane count).
+
+    Signature: (state, pix (E,) i32, lane (E,) i32, active (E,) bool,
+    first_int f32, dt_ticks f32, fval f32, fv8 i32) ->
+    (state, ev_pixd, ev_t, total, per_interval, pack_max, counts).
+    Same overflow/order contract as make_dvs_chunk_resident."""
+    pack = depth + 3
+    srows_phys = ((pallas_block // 128 + 1 + 7) // 8) * 8
+    rows_cap = -(-event_cap // 128) + srows_phys
+
+    def chunk_fn(state, pix, lane, active, first_int, dt_ticks, fval, fv8):
+        fstep = make_resident_call(
+            p, n, rows_cap, T, pallas_block, pack, n_real, interpret,
+            depth=depth, emit_running=False, dvs="davis",
+        )
+        oob = jnp.int32(T * n)
+        dst = jnp.where(
+            active, lane.astype(_i32) * jnp.int32(n) + pix.astype(_i32), oob
+        )
+
+        def plane(v, dtype):
+            z = jnp.zeros((T * n,), dtype)
+            return z.at[dst].set(v.astype(dtype), mode="drop").reshape(T, n)
+
+        bc = lambda x: jax.lax.bitcast_convert_type(x, _i32)
+        frames = jnp.stack(
+            [
+                bc(plane(first_int, _f32)),
+                bc(plane(dt_ticks, _f32)),
+                bc(plane(fval, _f32)),
+                plane(fv8 | (active.astype(_i32) << 8), _i32),
+            ],
+            axis=1,
+        )
+        bufp0 = jnp.zeros((rows_cap, 128), _u32)
+        buft0 = jnp.zeros((rows_cap, 128), _u32)
+        (
+            state, bufp, buft, total, pmax, counts, _rv, _rh,
+        ) = fstep(state, frames, jnp.float32(0.0), bufp0, buft0,
+                  jnp.zeros((), _i32))
+        counts = counts[:, :T]
+        per_interval = counts.sum(axis=0)
+        buf_pixd = bufp.reshape(-1)[:event_cap]
+        buf_t = buft.reshape(-1)[:event_cap]
+        return state, buf_pixd, buf_t, total, per_interval, pmax, counts
+
+    return jax.jit(chunk_fn)
+
+
 def assemble_resident_events(pixd: np.ndarray, t, counts: np.ndarray):
     """Host assembly: (block, interval, slot, pixel)-ordered buffer prefix ->
     the reference single-thread order (interval, then raster pixel, then

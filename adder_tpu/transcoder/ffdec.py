@@ -86,6 +86,61 @@ def available() -> bool:
     return _get_lib() is not None
 
 
+class StreamDecoder:
+    """Incremental RGB24 frame reader over the native libavcodec shim —
+    the streaming face of decode_frames (same swscale AREA stage video-rs
+    configures, framed.rs:52-59). read() returns one (H, W, 3) uint8
+    frame or None at EOF; frames decode on demand, so a prefetch thread
+    can overlap decode with device integration (SURVEY P2/P4)."""
+
+    def __init__(self, path: str, scale: float = 1.0):
+        lib = _get_lib()
+        if lib is None:
+            raise RuntimeError(f"ffmpeg decoder unavailable: {_build_error}")
+        self._lib = lib
+        out_w = ctypes.c_int(0)
+        out_h = ctypes.c_int(0)
+        fps = ctypes.c_double(0.0)
+        if scale != 1.0:
+            h0 = lib.vdec_open(
+                str(path).encode(), 0, 0,
+                ctypes.byref(out_w), ctypes.byref(out_h), ctypes.byref(fps),
+            )
+            if not h0:
+                raise RuntimeError(f"could not open {path}")
+            lib.vdec_close(h0)
+            tw, th = int(out_w.value * scale), int(out_h.value * scale)
+        else:
+            tw = th = 0
+        self._handle = lib.vdec_open(
+            str(path).encode(), tw, th,
+            ctypes.byref(out_w), ctypes.byref(out_h), ctypes.byref(fps),
+        )
+        if not self._handle:
+            raise RuntimeError(f"could not open {path}")
+        self.width = out_w.value
+        self.height = out_h.value
+        self.fps = float(fps.value) or 30.0
+        self._buf = np.empty((self.height, self.width, 3), np.uint8)
+        self._ptr = self._buf.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8))
+
+    def read(self) -> Optional[np.ndarray]:
+        if self._handle is None:
+            return None
+        r = self._lib.vdec_next(self._handle, self._ptr)
+        if r == 0:
+            self.close()
+            return None
+        if r < 0:
+            raise RuntimeError(f"decode error {r}")
+        return self._buf.copy()
+
+    def close(self) -> None:
+        if self._handle is not None:
+            self._lib.vdec_close(self._handle)
+            self._handle = None
+
+
 def decode_frames(
     path: str,
     scale: float = 1.0,

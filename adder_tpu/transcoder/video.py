@@ -17,6 +17,7 @@ TPU-native redesign:
 
 from __future__ import annotations
 
+import functools
 import os
 from dataclasses import dataclass
 from typing import Optional
@@ -48,6 +49,21 @@ from ..utils import tracing
 
 class SourceError(Exception):
     pass
+
+
+@functools.lru_cache(maxsize=16)
+def _make_feature_lookup(H: int, W: int, C: int, n: int):
+    """Jitted batched FAST mask + candidate gather over a chunk's running
+    frames (ref predicate: cv.rs:26-212 via utils.cv.fast_mask_jax)."""
+    from ..utils.cv import fast_mask_jax
+
+    def f(runnings, ii, yy, xx):
+        T = runnings.shape[0]
+        frames = runnings[:, :n].reshape(T, H, W, C)[..., 0]
+        masks = jax.vmap(fast_mask_jax)(frames)
+        return masks[ii, yy, xx]
+
+    return jax.jit(f)
 
 
 @dataclass
@@ -406,10 +422,6 @@ class Video:
         chunks. Two chunks may be in flight; older ones are collected here
         (their events reach the encoder in order).
         """
-        if self.feature_detection:
-            # features consume per-interval running frames; keep chunks
-            # strictly sequential so run0 is always current
-            self.flush()
         frames = np.asarray(frames)
         T = frames.shape[0]
         flat = frames.reshape(T, -1)
@@ -431,12 +443,22 @@ class Video:
 
         frames_u8 = jnp.asarray(flat.astype(np.uint8))
         t = jnp.float32(time_spanned)
-        run0 = jnp.asarray(
-            np.pad(
-                self.running_intensities.reshape(-1),
-                (0, self.n_state - self.n),
+        if (
+            (self.feature_detection or self._keep_running_frame)
+            and self._inflight
+        ):
+            # chain the running-frame carry ON DEVICE: the previous chunk's
+            # final running frame feeds this chunk with no host sync, so
+            # submit/collect pipelining survives features-on (the round-3
+            # path flushed before every chunk, serializing the pipeline)
+            run0 = self._inflight[-1]["outs"][8][-1]
+        else:
+            run0 = jnp.asarray(
+                np.pad(
+                    self.running_intensities.reshape(-1),
+                    (0, self.n_state - self.n),
+                )
             )
-        )
 
         # cap quantized to power-of-two multiples of N so the jit cache
         # stays warm across chunks; K_SLOTS*N*T is an exact upper bound,
@@ -552,12 +574,18 @@ class Video:
             # downstream in-flight chunks consumed the corrupted shallow
             # state; recompute the chain from the corrected state
             st = new_state
+            run_prev = runnings
+            emit_run = self.feature_detection or self._keep_running_frame
             for p2 in self._inflight:
                 p2["state_before"] = st
                 p2["pack"] = self._pack
+                if emit_run:
+                    # the device-chained running carry is invalid too
+                    p2["run0"] = run_prev[-1]
                 fn2 = self._chunk_fn(p2["cap"], self._pack)
                 p2["outs"] = fn2(st, p2["frames_u8"], p2["t"], p2["run0"])
                 st = p2["outs"][0]
+                run_prev = p2["outs"][8]
             self.state = st
         elif not self._inflight:
             self.state = new_state
@@ -601,9 +629,9 @@ class Video:
         with tracing.stage("video.encode", items=len(events)):
             self.encoder.ingest_event_array(events)
         if self.feature_detection:
-            self._handle_features(
-                events, np.asarray(per_int), np.asarray(runnings)
-            )
+            # runnings stays on device: FAST masks are computed there and
+            # only per-candidate bits come back (no (T, N) frame fetch)
+            self._handle_features(events, np.asarray(per_int), runnings)
         return events
 
     # -- feature pipeline (ref: video.rs:883-1227) --
@@ -622,15 +650,19 @@ class Video:
 
     def _handle_features(self, events, per_int, runnings) -> None:
         """Per-interval FAST feature maintenance over the event coordinates
-        (ref: video.rs:883-1112). Uses the dense whole-plane FAST mask
-        instead of per-coordinate checks."""
-        from ..utils.cv import fast_mask
+        (ref: video.rs:883-1112). Candidate coords are gathered host-side
+        (vector numpy over the chunk's events); the FAST masks are computed
+        ON DEVICE over the chunk's running frames in one batched call and
+        only the per-candidate corner bits come back (same decisions as the
+        numpy fast_mask — pinned by tests/test_utils_tools.py)."""
         from ..utils.viz import ShowFeatureMode, draw_feature_coord
 
         H, W = self.plane.height, self.plane.width
         offsets = np.concatenate([[0], np.cumsum(per_int)])
         self.display_frame_features = self.running_intensities.copy()
-        new_features: list = []
+        cis: list = []
+        cxs: list = []
+        cys: list = []
         for i in range(len(per_int)):
             sl = slice(int(offsets[i]), int(offsets[i + 1]))
             if sl.start == sl.stop:
@@ -647,16 +679,27 @@ class Video:
             )
             if not cand.any():
                 continue
-            frame = runnings[i][: self.n].reshape(H, W, self.plane.channels)
-            mask = fast_mask(frame)
-            cx, cy = xs[cand], ys[cand]
-            is_f = mask[cy, cx]
-            for x, y, f in zip(cx[is_f], cy[is_f], np.ones(int(is_f.sum()))):
-                if (int(x), int(y)) not in self.features:
-                    self.features.add((int(x), int(y)))
-                    new_features.append((int(x), int(y)))
-            for x, y in zip(cx[~is_f], cy[~is_f]):
-                self.features.discard((int(x), int(y)))
+            cis.append(np.full(int(cand.sum()), i, np.int32))
+            cxs.append(xs[cand])
+            cys.append(ys[cand])
+
+        new_features: list = []
+        if cis:
+            ii = np.concatenate(cis)
+            xx = np.concatenate(cxs).astype(np.int32)
+            yy = np.concatenate(cys).astype(np.int32)
+            is_f = self._feature_mask_lookup(runnings, ii, yy, xx)
+            # replay the per-interval set updates in stream order (the
+            # mask value per (interval, coord) is unique, so interleaving
+            # adds/discards per candidate == the old two-pass loops)
+            for x, y, f in zip(xx, yy, is_f):
+                key = (int(x), int(y))
+                if f:
+                    if key not in self.features:
+                        self.features.add(key)
+                        new_features.append(key)
+                else:
+                    self.features.discard(key)
 
         params = self.encoder.options.crf.get_parameters()
         if self.show_features == ShowFeatureMode.Hold:
@@ -664,26 +707,49 @@ class Video:
                 draw_feature_coord(
                     x, y, self.display_frame_features, self.plane.channels != 1
                 )
-        for (x, y) in set(new_features):
-            if self.show_features == ShowFeatureMode.Instant:
+        if self.show_features == ShowFeatureMode.Instant:
+            for (x, y) in set(new_features):
                 draw_feature_coord(
                     x, y, self.display_frame_features, self.plane.channels != 1
                 )
-            if self.feature_rate_adjustment and params.feature_c_radius > 0:
-                r = params.feature_c_radius
+        if (
+            self.feature_rate_adjustment
+            and params.feature_c_radius > 0
+            and new_features
+        ):
+            # one state fetch + one write for ALL new features (the old
+            # loop round-tripped the full c_thresh plane per feature)
+            r = params.feature_c_radius
+            c_full = np.array(self.state.c_thresh)
+            c = c_full[: self.n].reshape(self.plane.shape[:2] + (-1,))
+            for (x, y) in set(new_features):
                 lo_y, hi_y = max(y - r, 0), min(y + r, H - 1)
                 lo_x, hi_x = max(x - r, 0), min(x + r, W - 1)
-                c_full = np.array(self.state.c_thresh)
-                c = c_full[: self.n].reshape(self.plane.shape[:2] + (-1,))
                 c[lo_y : hi_y + 1, lo_x : hi_x + 1, :] = min(
                     params.c_thresh_baseline, 2
                 )
-                c_full[: self.n] = c.reshape(-1)
-                self.state = self.state._replace(
-                    c_thresh=jnp.asarray(c_full)
-                )
+            c_full[: self.n] = c.reshape(-1)
+            self.state = self.state._replace(c_thresh=jnp.asarray(c_full))
         if self.feature_cluster and new_features:
             self.cluster(set(new_features))
+
+    def _feature_mask_lookup(self, runnings, ii, yy, xx) -> np.ndarray:
+        """FAST-corner bits for candidate (interval, y, x) coords: batched
+        device fast_mask_jax over the chunk's running frames + gather.
+        Candidate count pads to a sticky power of two (stable jit shapes)."""
+        n_c = len(ii)
+        pad = 1 << max(8, (n_c - 1).bit_length())
+        pad = self._feat_pad = max(pad, getattr(self, "_feat_pad", 0))
+        padw = (0, pad - n_c)
+        fn = _make_feature_lookup(
+            self.plane.height, self.plane.width, self.plane.channels, self.n
+        )
+        with tracing.stage("video.features.mask_lookup", items=n_c):
+            bits = fn(
+                jnp.asarray(runnings), jnp.asarray(np.pad(ii, padw)),
+                jnp.asarray(np.pad(yy, padw)), jnp.asarray(np.pad(xx, padw)),
+            )
+            return np.asarray(bits)[:n_c]
 
     def cluster(self, points_set: set) -> list:
         """DBSCAN over feature coordinates; returns bounding boxes

@@ -56,6 +56,33 @@ def sort_key(ev):
     )
 
 
+def expected_stream_survivors(events: EventArray, ref_interval: int,
+                              adu_interval: int) -> dict:
+    """EXACT per-pixel survivor sequences of the compressed stream path:
+    replicates the ADU rotation (compressed.py ingest_event_array — one
+    rotation per triggering event, the trigger lands in the NEW adu) and
+    the cube ingest drop rule (adder_entropy.cpp ingest_adu, line-equal to
+    event_cube.rs:127-141: drop when the pixel's list has >1 entries and
+    t <= last.t; lists reset per ADU)."""
+    span = ref_interval * max(adu_interval, 1)
+    t = events.t.astype(np.int64)
+    xs, ys, cs, ds = events.x, events.y, events.c, events.d
+    start_t = 0
+    survivors: dict = {}
+    lists: dict = {}
+    for j in range(len(events)):
+        if t[j] > start_t + span:
+            lists = {}  # ADU rotation: fresh cube pixel lists
+            start_t += span
+        k = (int(xs[j]), int(ys[j]), None if cs[j] == NO_CHANNEL else int(cs[j]))
+        lst = lists.setdefault(k, [])
+        if len(lst) > 1 and int(t[j]) <= lst[-1][1]:
+            continue
+        lst.append((int(ds[j]), int(t[j])))
+        survivors.setdefault(k, []).append((int(ds[j]), int(t[j])))
+    return survivors
+
+
 def group_by_pixel(ev, apply_drop_rule=False):
     d = {}
     for e in ev:
@@ -153,20 +180,13 @@ def test_stream_roundtrip_and_ratio(tmp_path):
     assert dec.magic == MAGIC_COMPRESSED
     assert dec.meta.adu_interval == 8
     back = dec.digest_all()
-    want = group_by_pixel(allev)
+    # EXACT survivor sets: the expected drop set is computable host-side
+    # (ADU rotation + cube ingest rule), so no blanket tolerance
+    want = expected_stream_survivors(allev, 255, 8)
     got = group_by_pixel(back)
     assert set(got) == set(want)
-    dropped = 0
-    for k in want:
-        # stream-level: per-pixel d sequences survive exactly; the cube
-        # ingest rule may drop non-monotonic duplicates
-        wd = [d for d, _ in want[k]]
-        gd = [d for d, _ in got[k]]
-        assert gd == wd[: len(gd)]
-        dropped += len(wd) - len(gd)
-        for (gdd, gt), (wdd, wt) in zip(got[k], want[k]):
-            assert abs(int(gt) - int(wt)) <= 5
-    assert dropped <= len(allev) // 20
+    for k in sorted(want):
+        assert got[k] == want[k], (k, got[k][:4], want[k][:4])
 
 
 def test_fixture_reencode_compressed_smaller(samples_dir, tmp_path):
@@ -203,7 +223,21 @@ def test_fixture_reencode_compressed_smaller(samples_dir, tmp_path):
     assert path.stat().st_size < len(events) * 9
 
     back = open_file_decoder(str(path)).digest_all()
-    assert len(back) >= len(ev_abs) * 0.95
+    # exact expected-drop accounting (no 95% blanket): every survivor of
+    # the ADU/cube ingest rules must come back — counts and d sequences
+    # exact; t carries the documented +-5-tick lossy envelope (the
+    # default encoder options are lossy; ref stream.rs:694-699)
+    want = expected_stream_survivors(ev_abs, meta.ref_interval, 10)
+    got = group_by_pixel(back)
+    assert set(got) == set(want)
+    n_want = sum(len(v) for v in want.values())
+    assert len(back) == n_want, (len(back), n_want, len(ev_abs))
+    for k in sorted(want):
+        gl, wl = got[k], want[k]
+        assert len(gl) == len(wl), (k, len(gl), len(wl))
+        assert [d for d, _ in gl] == [d for d, _ in wl], k
+        for (_, gt), (_, wt) in zip(gl, wl):
+            assert abs(int(gt) - int(wt)) <= 5, (k, gt, wt)
 
 
 def _write_compressed(tmp_path, n_adus=4, w=48, h=32, name="seek.adder"):
@@ -306,3 +340,127 @@ def test_compressed_corrupt_adu_bounded(tmp_path):
             assert len(out) < 5_000_000
         except (CodecError, Eof):
             pass
+
+
+def _abs_meta(w, h, dt_ref, num_intervals):
+    return CodecMetadata(
+        codec_version=3,
+        plane=PlaneSize(w, h, 1),
+        tps=7650,
+        ref_interval=dt_ref,
+        delta_t_max=dt_ref * num_intervals,
+        time_mode=TimeMode.AbsoluteT,
+        source_camera=SourceCamera.FramedU8,
+        adu_interval=num_intervals,
+    )
+
+
+def _raster_events(passes, w, h, skip_fn, t0=280):
+    xs, ys, ts = [], [], []
+    counter = 0
+    for i in range(passes):
+        for y in range(h):
+            for x in range(w):
+                if skip_fn(i, y, x):
+                    continue
+                xs.append(x)
+                ys.append(y)
+                ts.append(t0 + counter)
+                counter += 1
+    return xs, ys, ts, counter
+
+
+def _ev(xs, ys, ts):
+    n = len(xs)
+    return EventArray(
+        np.array(xs, np.uint16), np.array(ys, np.uint16),
+        np.full(n, NO_CHANNEL, np.uint8), np.full(n, 7, np.uint8),
+        np.array(ts, np.uint32),
+    )
+
+
+def test_compress_decompress_barely_full(tmp_path):
+    """Transliterated ref stream.rs:511-608: a raster pass whose
+    timestamps clamp at the ADU span boundary (duplicate-t pileup at the
+    edge), plus one event in the next ADU; the candidate pixel's stream
+    round-trips exactly at lossless settings."""
+    w, h = 16, 30
+    dt_ref, num_intervals = 255, 10
+    span = dt_ref * num_intervals
+    cand = (7, 12)  # (y, x)
+    xs, ys, ts = [], [], []
+    counter = 0
+    done = False
+    for y in range(h):
+        if done:
+            break
+        for x in range(w):
+            xs.append(x)
+            ys.append(y)
+            ts.append(min(280 + counter, span))
+            if 280 + counter > span:
+                done = True
+                break
+            counter += 1
+    xs.append(0)
+    ys.append(0)
+    ts.append(span + 1)  # rotates into the next ADU
+    ev = _ev(xs, ys, ts)
+
+    meta = _abs_meta(w, h, dt_ref, num_intervals)
+    path = tmp_path / "barely.addec"
+    enc = Encoder.new_compressed(
+        meta, open(path, "wb"), EncoderOptions.default(meta.plane)
+    )
+    enc.options.crf.update_quality(0)
+    enc.sync_crf()
+    enc.ingest_event_array(ev)
+    enc.close_writer().close()
+    assert path.stat().st_size < len(ev) * 9
+
+    back = open_file_decoder(str(path)).digest_all()
+    got = group_by_pixel(back)
+    want = expected_stream_survivors(ev, dt_ref, num_intervals)
+    key = (cand[1], cand[0], None)
+    assert got.get(key, []) == want[key]
+    for k in sorted(want):
+        assert got.get(k, []) == want[k], (k, got.get(k, [])[:4], want[k][:4])
+
+
+def test_compress_decompress_several_with_skip(tmp_path):
+    """Transliterated ref stream.rs:822-947: skip cubes toggle per pass
+    (top-left cube empty every 3rd pass), pixel (14,14) never fires until
+    ONE far-in-the-past out-of-order event lands mid-stream; the candidate
+    pixel's stream survives with exact d and t at lossless settings."""
+    w = h = 30
+    dt_ref, num_intervals = 255, 10
+    cand = (7, 12)  # (y, x)
+
+    def skip(i, y, x):
+        return (y == 14 and x == 14) or (i % 3 == 0 and y >= 16 and x < 16)
+
+    xs1, ys1, ts1, c1 = _raster_events(10, w, h, skip)
+    xs2, ys2, ts2, c2 = _raster_events(10, w, h, skip, t0=280 + c1)
+    xs = xs1 + [14] + xs2
+    ys = ys1 + [14] + ys2
+    ts = ts1 + [280] + ts2  # the late event: timestamp far in the past
+    ev = _ev(xs, ys, ts)
+
+    meta = _abs_meta(w, h, dt_ref, num_intervals)
+    path = tmp_path / "skip.addec"
+    enc = Encoder.new_compressed(
+        meta, open(path, "wb"), EncoderOptions.default(meta.plane)
+    )
+    enc.options.crf.update_quality(0)
+    enc.sync_crf()
+    enc.ingest_event_array(ev)
+    enc.close_writer().close()
+    assert path.stat().st_size < len(ev) * 9
+
+    back = open_file_decoder(str(path)).digest_all()
+    got = group_by_pixel(back)
+    want = expected_stream_survivors(ev, dt_ref, num_intervals)
+    key = (cand[1], cand[0], None)
+    assert got.get(key, []) == want[key]
+    n_want = sum(len(v) for v in want.values())
+    assert len(back) == n_want, (len(back), n_want)

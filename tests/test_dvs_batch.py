@@ -284,3 +284,61 @@ def test_davis_framed_mode_batched():
     oracle = run(False)
     batched = run(True)
     assert oracle == batched and len(oracle) > 0
+
+def test_davis_resident_engine_matches_scan():
+    """The DAVIS lanes through the T-resident Pallas kernel (dvs='davis'
+    op order, compact device-side plane scatter) must reproduce the XLA
+    scan engine's per-pixel event streams bit-for-bit — and, transitively,
+    the scalar oracle's (test_davis_batched_matches_oracle)."""
+    from adder_tpu.transcoder.davis import (
+        ArrayDavisProvider,
+        Davis,
+        DavisPacket,
+        DvsEvent,
+        TranscoderMode,
+    )
+    from adder_tpu.core.types import PlaneSize
+
+    H, W = 12, 14
+    plane = PlaneSize(W, H, 1)
+    rng = np.random.default_rng(17)
+
+    def frame():
+        return rng.integers(40, 200, (H, W)).astype(np.uint8)
+
+    def burst(t0, t1, n):
+        return [
+            DvsEvent(t=int(t), x=int(rng.integers(0, W)),
+                     y=int(rng.integers(0, H)), on=bool(rng.integers(0, 2)))
+            for t in sorted(rng.integers(t0, t1, n))
+        ]
+
+    packets = [
+        DavisPacket(frame(), 1000, 3000, burst(10, 900, 70)),
+        DavisPacket(None, 0, 0, burst(3100, 6000, 90)),
+        DavisPacket(frame(), 9000, 11000, burst(6100, 8900, 60)),
+    ]
+
+    def run(engine):
+        src = Davis(ArrayDavisProvider(packets, plane), ref_time=255,
+                    mode=TranscoderMode.RawDavis, batched=True,
+                    engine=engine)
+        streams = {}
+        while True:
+            try:
+                arr = src.consume()
+            except EOFError:
+                break
+            for x, y, d, t in zip(arr.x, arr.y, arr.d, arr.t):
+                streams.setdefault((int(x), int(y)), []).append(
+                    (int(d), int(t))
+                )
+        return streams
+
+    scan = run("scan")
+    resident = run("resident")
+    assert set(scan) == set(resident)
+    for key in sorted(scan):
+        assert scan[key] == resident[key], (
+            key, scan[key][:6], resident[key][:6]
+        )

@@ -151,3 +151,41 @@ def test_d_controllers():
     agg.throttle(100.0)
     man = DControllerManual(d=5)
     assert man.throttle(123.0) == 5
+
+
+def test_feature_pipelining_matches_sequential():
+    """Features-on submit/collect pipelining (device-chained running-frame
+    carry + batched device FAST lookup) must produce the same event bytes
+    AND the same feature set as strictly sequential chunks (round 3
+    flushed before every chunk, serializing the pipeline)."""
+    from adder_tpu.transcoder.video import Video
+
+    frames = moving_square_frames(T=12)
+    plane = PlaneSize(32, 24, 1)
+
+    def run(pipelined):
+        out = io.BytesIO()
+        v = Video(plane, Mode.FramePerfect)
+        v.time_parameters(255 * 30, 255, 255 * 30, TimeMode.AbsoluteT)
+        v.write_out(
+            SourceCamera.FramedU8, TimeMode.AbsoluteT,
+            PixelMultiMode.Collapse, None, EncoderType.Raw,
+            EncoderOptions.default(plane), out,
+        )
+        v.update_detect_features(True, ShowFeatureMode.Instant, False, False)
+        chunks = [frames[i * 3 : (i + 1) * 3] for i in range(4)]
+        if pipelined:
+            for c in chunks:
+                v.submit_chunk(c)
+            v.flush()
+        else:
+            for c in chunks:
+                v.collect_chunk(v.submit_chunk(c))
+        v.end_write_stream()
+        return set(v.features), out.getvalue()
+
+    f_seq, b_seq = run(False)
+    f_pipe, b_pipe = run(True)
+    assert b_pipe == b_seq
+    assert f_pipe == f_seq
+    assert len(f_seq) > 0

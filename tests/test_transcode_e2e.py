@@ -250,3 +250,37 @@ def test_checkpoint_resume_bitexact(tmp_path):
     ev_size = v1.encoder.meta.event_size
     joined = p1[:-ev_size] + p2[header_len:]
     assert joined == s
+
+
+def test_framed_stream_matches_eager(tmp_path):
+    """FramedStream (threaded decode prefetch + pipelined chunks) writes
+    byte-identical .adder output to the eager Framed on the same clip."""
+    import pathlib
+
+    from adder_tpu.transcoder.framed import Framed, FramedStream
+
+    mp4 = pathlib.Path(
+        "/root/reference/adder-codec-rs/tests/samples/lake_scaled_hd_crop.mp4"
+    )
+    if not mp4.exists():
+        pytest.skip("lake fixture unavailable")
+
+    outs = []
+    for cls in (Framed, FramedStream):
+        src = cls(str(mp4), color_input=False, chunk_frames=8, max_frames=48)
+        src.auto_time_parameters(255, 255 * 4, TimeMode.AbsoluteT)
+        buf = io.BytesIO()
+        src.write_out(
+            SourceCamera.FramedU8, TimeMode.AbsoluteT,
+            PixelMultiMode.Collapse, None, EncoderType.Raw,
+            EncoderOptions.default(src.video.plane), buf,
+        )
+        while True:
+            try:
+                src.consume_batch()
+            except EOFError:
+                break
+        src.video.end_write_stream()
+        outs.append(buf.getvalue())
+    assert outs[0] == outs[1]
+    assert len(outs[0]) > 33
