@@ -90,6 +90,24 @@ def make_masked_interval(p: I.TranscodeParams):
     return jax.jit(lambda st, i, fv, t, m: masked_interval(st, i, fv, t, m, p))
 
 
+@functools.lru_cache(maxsize=32)
+def make_masked_interval_compact(p: I.TranscodeParams, take: int):
+    """masked_interval + in-graph event compaction: returns (state,
+    pixd (take,) u32 wire-packed, t (take,) u32, n_ev). The caller fetches
+    only the [0, n_ev) prefix — fetching the dense (K, N) slot arrays cost
+    ~16 MB per call on a slow link, which made the bootstrap/EOF flush the
+    dominant cost of bulk DVS transcodes. n_ev > take signals overflow
+    (rerun with a doubled take from the pre-call state). Event order is
+    (pixel, slot) — identical to slots_to_events."""
+
+    def f(st, i, fv, t, m):
+        st2, sd, stt, sm, _ = masked_interval(st, i, fv, t, m, p)
+        pixd, tt, n = I._compact_interval(sd, stt, sm, take)
+        return st2, pixd, tt, n
+
+    return jax.jit(f)
+
+
 def _mid_clamp_vec(val: np.ndarray, ln: np.ndarray):
     """Vectorized utils.cv.mid_clamp_u8 (ref: transcoder/mod.rs clamp)."""
     bad = (val < 0.0) | (val > 255.0)

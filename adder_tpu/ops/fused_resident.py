@@ -826,41 +826,62 @@ def make_dvs_chunk_resident_compact(
 
     Signature: (state, pix (E,) i32, lane (E,) i32,
     gap_on (E,) bool, gap_fv i32, gap_int f32, gap_time f32,
-    tick_on bool, tick_fv i32, tick_int f32, tick_time f32) ->
+    tick_on bool, tick_fv i32, tick_int f32) ->
     (state, ev_pixd, ev_t, total, per_interval, pack_max, counts).
-    Rows with gap_on/tick_on False (padding included) scatter nowhere.
-    Event/overflow semantics identical to make_dvs_chunk_resident."""
+    The tick sub-step's time span is ALWAYS p.ref_time (one source tick,
+    prophesee.rs:243), so no tick_time array ships — it is derived on
+    device. Rows with gap_on/tick_on False (padding included) scatter
+    nowhere. Event/overflow semantics identical to
+    make_dvs_chunk_resident."""
     inner = make_dvs_chunk_resident(
         p, event_cap, pallas_block, n_real, interpret, depth
     )
 
     def chunk_fn(state, pix, lane, gap_on, gap_fv, gap_int, gap_time,
-                 tick_on, tick_fv, tick_int, tick_time):
-        nn = jnp.int32(n)
-        pix = pix.astype(_i32)
-        lane = lane.astype(_i32)
-        # flat (T*N) destination per sub-step; inactive rows -> T*N (OOB,
-        # dropped by scatter mode=drop)
-        oob = jnp.int32(T * n)
-        gdst = jnp.where(gap_on, (2 * lane) * nn + pix, oob)
-        tdst = jnp.where(tick_on, (2 * lane + 1) * nn + pix, oob)
-        dst = jnp.concatenate([gdst, tdst])
-
-        def plane(gv, tv, dtype):
-            z = jnp.zeros((T * n,), dtype)
-            vals = jnp.concatenate([gv.astype(dtype), tv.astype(dtype)])
-            return z.at[dst].set(vals, mode="drop").reshape(T, n)
-
-        inten = plane(gap_int, tick_int, _f32)
-        tsp = plane(gap_time, tick_time, _f32)
-        fvw = plane(
-            gap_fv | (gap_on.astype(_i32) << 8),
-            tick_fv | (tick_on.astype(_i32) << 8),
-            _i32,
+                 tick_on, tick_fv, tick_int):
+        inten, tsp, fvw = build_dvs_planes(
+            T, n, pix, lane, gap_on, gap_fv, gap_int, gap_time,
+            tick_on, tick_fv, tick_int, None, ref_time=p.ref_time,
         )
         return inner(state, inten, tsp, fvw)
 
     return jax.jit(chunk_fn)
+
+
+def build_dvs_planes(T, n, pix, lane, gap_on, gap_fv, gap_int, gap_time,
+                     tick_on, tick_fv, tick_int, tick_time, *,
+                     ref_time=None):
+    """Device-side scatter of compact DVS rows into the (T, N) lane planes
+    [intensity, ticks-spanned, fv | active << 8] — gap sub-step at row
+    2*lane, tick at 2*lane+1 (the exact layout the host dense path builds
+    from stack_lanes; pinned equal by tests/test_dvs_batch.py)."""
+    nn = jnp.int32(n)
+    pix = pix.astype(_i32)
+    lane = lane.astype(_i32)
+    # flat (T*N) destination per sub-step; inactive rows -> T*N (OOB,
+    # dropped by scatter mode=drop)
+    oob = jnp.int32(T * n)
+    gdst = jnp.where(gap_on, (2 * lane) * nn + pix, oob)
+    tdst = jnp.where(tick_on, (2 * lane + 1) * nn + pix, oob)
+    dst = jnp.concatenate([gdst, tdst])
+
+    def plane(gv, tv, dtype):
+        z = jnp.zeros((T * n,), dtype)
+        vals = jnp.concatenate([gv.astype(dtype), tv.astype(dtype)])
+        return z.at[dst].set(vals, mode="drop").reshape(T, n)
+
+    if tick_time is None:
+        # one source tick per tick sub-step (prophesee.rs:243): constant
+        # p.ref_time — derived here instead of shipping an (E,) array
+        tick_time = jnp.full(tick_on.shape, jnp.float32(ref_time), _f32)
+    inten = plane(gap_int, tick_int, _f32)
+    tsp = plane(gap_time, tick_time, _f32)
+    fvw = plane(
+        gap_fv | (gap_on.astype(_i32) << 8),
+        tick_fv | (tick_on.astype(_i32) << 8),
+        _i32,
+    )
+    return inten, tsp, fvw
 
 
 @functools.lru_cache(maxsize=32)
@@ -893,25 +914,11 @@ def make_davis_chunk_resident_compact(
             p, n, rows_cap, T, pallas_block, pack, n_real, interpret,
             depth=depth, emit_running=False, dvs="davis",
         )
-        oob = jnp.int32(T * n)
-        dst = jnp.where(
-            active, lane.astype(_i32) * jnp.int32(n) + pix.astype(_i32), oob
+        fi, dt, fv, fvw = build_davis_planes(
+            T, n, pix, lane, active, first_int, dt_ticks, fval, fv8
         )
-
-        def plane(v, dtype):
-            z = jnp.zeros((T * n,), dtype)
-            return z.at[dst].set(v.astype(dtype), mode="drop").reshape(T, n)
-
         bc = lambda x: jax.lax.bitcast_convert_type(x, _i32)
-        frames = jnp.stack(
-            [
-                bc(plane(first_int, _f32)),
-                bc(plane(dt_ticks, _f32)),
-                bc(plane(fval, _f32)),
-                plane(fv8 | (active.astype(_i32) << 8), _i32),
-            ],
-            axis=1,
-        )
+        frames = jnp.stack([bc(fi), bc(dt), bc(fv), fvw], axis=1)
         bufp0 = jnp.zeros((rows_cap, 128), _u32)
         buft0 = jnp.zeros((rows_cap, 128), _u32)
         (
@@ -925,6 +932,29 @@ def make_davis_chunk_resident_compact(
         return state, buf_pixd, buf_t, total, per_interval, pmax, counts
 
     return jax.jit(chunk_fn)
+
+
+def build_davis_planes(T, n, pix, lane, active, first_int, dt_ticks, fval,
+                       fv8):
+    """Device-side scatter of compact DAVIS rows into the (T, N) lane
+    planes [first_integration, dt_ticks, frame_val, fv8 | active << 8] —
+    one sub-step per lane (row = lane). Pinned equal to the host
+    stack_davis_lanes layout by tests/test_dvs_batch.py."""
+    oob = jnp.int32(T * n)
+    dst = jnp.where(
+        active, lane.astype(_i32) * jnp.int32(n) + pix.astype(_i32), oob
+    )
+
+    def plane(v, dtype):
+        z = jnp.zeros((T * n,), dtype)
+        return z.at[dst].set(v.astype(dtype), mode="drop").reshape(T, n)
+
+    return (
+        plane(first_int, _f32),
+        plane(dt_ticks, _f32),
+        plane(fval, _f32),
+        plane(fv8 | (active.astype(_i32) << 8), _i32),
+    )
 
 
 def assemble_resident_events(pixd: np.ndarray, t, counts: np.ndarray):

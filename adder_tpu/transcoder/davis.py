@@ -386,27 +386,11 @@ class Davis:
             parts.append(B.wire_to_events(ap, at, width))
 
     def _masked_call(self, intensity, fv, time, mask, parts: list) -> None:
-        import jax.numpy as jnp
+        # shares Prophesee's compact fetch path (device compaction; only
+        # the event prefix crosses the link)
+        from .prophesee import Prophesee
 
-        from ..ops import dvs_batch as B
-
-        ns = int(self._dev_state.length.shape[0])
-        if ns != len(mask):  # resident engine pads the plane to blocks
-            padw = (0, ns - len(mask))
-            intensity = np.pad(intensity, padw)
-            fv = np.pad(fv, padw)
-            time = np.pad(time, padw)
-            mask = np.pad(mask, padw)
-        fn = B.make_masked_interval(self._tp())
-        st, sd, stt, sm, _ = fn(
-            self._dev_state,
-            jnp.asarray(intensity, jnp.float32),
-            jnp.asarray(fv, jnp.int32),
-            jnp.asarray(time, jnp.float32),
-            jnp.asarray(mask),
-        )
-        self._dev_state = st
-        parts.append(B.slots_to_events(sd, stt, sm, self.plane.width))
+        Prophesee._masked_call(self, intensity, fv, time, mask, parts)
 
     def _integrate_frame_gaps_batched(self, start_of_frame_us, parts) -> None:
         tpm = self.video.tps / 1e6

@@ -30,6 +30,7 @@ from ..core.types import (
     SourceCamera,
     TimeMode,
 )
+from ..utils import tracing
 from ..utils.cv import mid_clamp_u8
 from . import pixel_oracle as O
 from .video import SourceError, Video
@@ -180,6 +181,10 @@ class Prophesee:
         self._event_buf: Optional[np.ndarray] = None
         self._event_pos = 0
         self._eof = False
+        self._dvs_inflight: list = []  # pipelined resident groups
+        # True = discard events after integration (the reference's no-IO
+        # EmptyOutput bench semantics; the Empty encoder gets nothing)
+        self.void_events = False
 
     # -- builder API parity --
 
@@ -301,16 +306,37 @@ class Prophesee:
             fv = np.pad(fv, padw)
             time = np.pad(time, padw)
             mask = np.pad(mask, padw)
-        fn = B.make_masked_interval(self._tp())
-        st, sd, stt, sm, _ = fn(
-            self._dev_state,
+        K = int(self._dev_state.node_d.shape[0]) + 3
+        take = 1 << (ns - 1).bit_length()  # ~1 event/px; doubles on overflow
+        take = self._mask_take = max(take, getattr(self, "_mask_take", 0))
+        args = (
             jnp.asarray(intensity, jnp.float32),
             jnp.asarray(fv, jnp.int32),
             jnp.asarray(time, jnp.float32),
             jnp.asarray(mask),
         )
+        st0 = self._dev_state
+        while True:
+            fn = B.make_masked_interval_compact(
+                self._tp(), min(take, K * ns)
+            )
+            st, pixd, tt, n_ev = fn(st0, *args)
+            if getattr(self, "void_events", False):
+                # events are discarded; state is what matters — no sync
+                self._dev_state = st
+                return
+            n_i = int(n_ev)
+            if n_i <= take or take >= K * ns:
+                break
+            take = self._mask_take = take * 2
         self._dev_state = st
-        out.append(B.slots_to_events(sd, stt, sm, self.plane.width))
+        n_i = min(n_i, K * ns)
+        out.append(
+            B.wire_to_events(
+                np.asarray(pixd[:n_i]), np.asarray(tt[:n_i]),
+                self.plane.width,
+            )
+        )
 
     @staticmethod
     def _events_from_parts(parts) -> EventArray:
@@ -350,19 +376,38 @@ class Prophesee:
             self._bootstrap_batched()
         batch = self._next_dvs_batch()
         if batch is None:
+            if self._dvs_inflight:
+                tail: list = []
+                while self._dvs_inflight:
+                    part = self._collect_dvs_oldest()
+                    if part is not None:
+                        tail.append(part)
+                arr = self._events_from_parts(tail)
+                with tracing.stage("dvs.encode", items=len(arr)):
+                    self.video.encoder.ingest_event_array(arr)
+                self._end_events_batched()
+                return arr
             self._end_events_batched()
             raise EOFError("prophesee source exhausted")
         ts, xs, ys, ps = batch
         n = self.plane.volume()
         parts: list = []
         if getattr(self, "_engine", "scan") == "resident":
-            plan = B.plan_dvs_batch_compact(
-                ts, xs, ys, ps, self.plane.width, n,
-                self.dvs_last_timestamps, self.dvs_last_ln_val,
-                self.camera_theta, self.video.ref_time,
-            )
+            with tracing.stage("dvs.plan", items=len(ts)):
+                plan = B.plan_dvs_batch_compact(
+                    ts, xs, ys, ps, self.plane.width, n,
+                    self.dvs_last_timestamps, self.dvs_last_ln_val,
+                    self.camera_theta, self.video.ref_time,
+                )
             if len(plan.pix):
                 parts = self._run_lanes_resident(plan)
+            if self._eof:
+                # drain the pipeline before the EOF flush so the encoder
+                # sees window events in order, then the held intensities
+                while self._dvs_inflight:
+                    part = self._collect_dvs_oldest()
+                    if part is not None:
+                        parts.append(part)
         else:
             lanes = B.plan_dvs_batch(
                 ts, xs, ys, ps, self.plane.width, n,
@@ -372,7 +417,8 @@ class Prophesee:
             if lanes:
                 parts = self._run_lanes_scanned(lanes)
         arr = self._events_from_parts(parts)
-        self.video.encoder.ingest_event_array(arr)
+        with tracing.stage("dvs.encode", items=len(arr)):
+            self.video.encoder.ingest_event_array(arr)
         if self._eof:
             self._end_events_batched()
         return arr
@@ -388,65 +434,98 @@ class Prophesee:
         `plan` is a dvs_batch.DvsCompact: per-event rows ship to the
         device and the (T, N) lane planes are scattered THERE
         (make_dvs_chunk_resident_compact), so host work and h2d volume are
-        O(events) — not O(lanes * plane) as in round 3."""
-        import jax.numpy as jnp
-
-        from ..ops import dvs_batch as B
-        from ..ops import fused_resident as FR
-        from ..runtime import bound_jit_mappings
-
-        ns = self._res_nstate
-        width = self.plane.width
+        O(events) — not O(lanes * plane) as in round 3. Dispatches are
+        PIPELINED: up to two groups stay in flight across consume() calls
+        (state chains on device; capacity overflow truncates only the
+        event buffer, so a rerun recovers events without invalidating the
+        chain — the Video submit/collect contract), and host planning of
+        the next window overlaps device compute of the previous."""
         parts: list = []
         GROUP = 64  # counts vector holds one lane per sub-step; T = 2L
         n_lanes = plan.n_lanes
         for g0 in range(0, n_lanes, GROUP):
             g = plan.lane_slice(g0, g0 + GROUP) if n_lanes > GROUP else plan
-            L = min(n_lanes - g0, GROUP)
-            L_pad = 1 << (L - 1).bit_length()
-            L_pad = self._res_lpad = max(
-                L_pad, getattr(self, "_res_lpad", 0)
-            )
-            T = 2 * L_pad
-            E = len(g.pix)
-            E_pad = 1 << max(10, (E - 1).bit_length())
-            E_pad = self._res_epad = max(
-                E_pad, getattr(self, "_res_epad", 0)
-            )
-            padw = (0, E_pad - E)
+            self._submit_dvs_group(g, min(n_lanes - g0, GROUP))
+            while len(self._dvs_inflight) > 2:
+                part = self._collect_dvs_oldest()
+                if part is not None:
+                    parts.append(part)
+        return parts
+
+    def _submit_dvs_group(self, g, L: int) -> None:
+        import jax.numpy as jnp
+
+        from ..ops import fused_resident as FR
+        from ..runtime import bound_jit_mappings
+
+        ns = self._res_nstate
+        L_pad = 1 << (L - 1).bit_length()
+        L_pad = self._res_lpad = max(L_pad, getattr(self, "_res_lpad", 0))
+        T = 2 * L_pad
+        E = len(g.pix)
+        E_pad = 1 << max(10, (E - 1).bit_length())
+        E_pad = self._res_epad = max(E_pad, getattr(self, "_res_epad", 0))
+        padw = (0, E_pad - E)
+        with tracing.stage("dvs.upload", items=E):
             args = (
                 np.pad(g.pix, padw), np.pad(g.lane, padw),
                 np.pad(g.gap_on, padw), np.pad(g.gap_fv, padw),
                 np.pad(g.gap_int, padw), np.pad(g.gap_time, padw),
                 np.pad(g.tick_on, padw), np.pad(g.tick_fv, padw),
-                np.pad(g.tick_int, padw), np.pad(g.tick_time, padw),
+                np.pad(g.tick_int, padw),
             )
             args = tuple(jnp.asarray(a) for a in args)
-            active_total = int(g.gap_on.sum() + g.tick_on.sum())
-            cap = 1 << max(
-                16, (max(64, active_total * 4) - 1).bit_length()
-            )
-            cap = self._res_cap = max(cap, getattr(self, "_res_cap", 0))
-            st0 = self._dev_state
-            while True:
-                bound_jit_mappings()
-                fn = FR.make_dvs_chunk_resident_compact(
-                    self._tp(), cap, T, ns, self._res_block,
-                    interpret=self._res_interpret, depth=16,
-                )
-                outs = fn(st0, *args)
-                st, pixd, tvals, total, _pi, _pmax, counts = outs
+        active_total = int(g.gap_on.sum() + g.tick_on.sum())
+        cap = 1 << max(16, (max(64, active_total * 4) - 1).bit_length())
+        cap = self._res_cap = max(cap, getattr(self, "_res_cap", 0))
+        bound_jit_mappings()
+        fn = FR.make_dvs_chunk_resident_compact(
+            self._tp(), cap, T, ns, self._res_block,
+            interpret=self._res_interpret, depth=16,
+        )
+        st0 = self._dev_state
+        with tracing.stage("dvs.dispatch"):
+            outs = fn(st0, *args)
+        self._dev_state = outs[0]  # optimistic async chain (Video contract)
+        self._dvs_inflight.append(
+            {"outs": outs, "state_before": st0, "args": args,
+             "cap": cap, "T": T, "ns": ns}
+        )
+
+    def _collect_dvs_oldest(self):
+        from ..ops import dvs_batch as B
+        from ..ops import fused_resident as FR
+
+        pending = self._dvs_inflight.pop(0)
+        if self.void_events:
+            # Empty-output mode (the reference's no-IO EmptyOutput bench
+            # semantics): events are discarded, and capacity overflow
+            # truncates only the discarded buffer — state is unaffected —
+            # so neither a sync nor a fetch is needed.
+            return None
+        outs, cap = pending["outs"], pending["cap"]
+        while True:
+            st, pixd, tvals, total, _pi, _pmax, counts = outs
+            with tracing.stage("dvs.sync"):
                 total_i = int(total)
-                if total_i <= cap:
-                    break
-                cap = self._res_cap = cap * 2  # overflow: rerun larger
-            self._dev_state = st
-            ap, at = FR.assemble_resident_events(
-                np.asarray(pixd[:total_i]), np.asarray(tvals[:total_i]),
-                np.asarray(counts),
+            if total_i <= cap:
+                break
+            cap = pending["cap"] = cap * 2  # overflow: rerun larger
+            self._res_cap = max(cap, self._res_cap)
+            fn = FR.make_dvs_chunk_resident_compact(
+                self._tp(), cap, pending["T"], pending["ns"],
+                self._res_block, interpret=self._res_interpret, depth=16,
             )
-            parts.append(B.wire_to_events(ap, at, width))
-        return parts
+            # rerun from the untouched pre-group state; the carried chain
+            # stays valid (cap truncates the event buffer only)
+            outs = fn(pending["state_before"], *pending["args"])
+        with tracing.stage("dvs.event_fetch", items=total_i):
+            pixd_h = np.asarray(pixd[:total_i])
+            tvals_h = np.asarray(tvals[:total_i])
+            counts_h = np.asarray(counts)
+        with tracing.stage("dvs.assemble", items=total_i):
+            ap, at = FR.assemble_resident_events(pixd_h, tvals_h, counts_h)
+            return B.wire_to_events(ap, at, self.plane.width)
 
     def _run_lanes_scanned(self, lanes) -> list:
         """All lanes in ONE device dispatch (lax.scan over the lane axis);
@@ -500,7 +579,11 @@ class Prophesee:
 
     def _end_events_batched(self):
         """Vectorized EOF flush (semantics of _end_events, ref:
-        prophesee.rs:325-365)."""
+        prophesee.rs:325-365). Flushes once (a consume() after EOF would
+        otherwise re-ingest the held intensities, ref flushes once too)."""
+        if getattr(self, "_end_flushed", False):
+            return
+        self._end_flushed = True
         n = self.plane.volume()
         ref = self.video.ref_time
         gap = self.running_t - self.dvs_last_timestamps.astype(np.int64)
@@ -569,7 +652,11 @@ class Prophesee:
         return arr
 
     def _end_events(self):
-        """Flush held intensities at EOF (ref: prophesee.rs:325-365)."""
+        """Flush held intensities at EOF (ref: prophesee.rs:325-365).
+        Flushes once, like _end_events_batched."""
+        if getattr(self, "_end_flushed", False):
+            return
+        self._end_flushed = True
         events: list = []
         ref = self.video.ref_time
         for i in range(len(self._pixels)):

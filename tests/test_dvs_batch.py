@@ -120,7 +120,11 @@ def _run(path, batched, multi_mode, engine=None):
 
 
 @pytest.mark.parametrize(
-    "multi_mode", [PixelMultiMode.Collapse, PixelMultiMode.Normal]
+    "multi_mode",
+    [
+        PixelMultiMode.Collapse,
+        pytest.param(PixelMultiMode.Normal, marks=pytest.mark.slow),
+    ],
 )
 def test_batched_matches_oracle(tmp_path, multi_mode):
     w, h = 14, 10
@@ -175,7 +179,11 @@ def _check_resident_matches_scan(tmp_path, multi_mode, n_events):
         )
 
 
+@pytest.mark.slow
 def test_resident_engine_matches_scan(tmp_path):
+    # compile-heavy (two engines on one core); the fast tier pins the
+    # compact plan + scatter (test_compact_plan_matches_dense_and_scatter)
+    # and the oracle==scan chain; full engine parity runs in the slow tier
     _check_resident_matches_scan(tmp_path, PixelMultiMode.Collapse, 120)
 
 
@@ -185,7 +193,8 @@ def test_resident_engine_matches_scan_normal_long(tmp_path):
 
 
 @pytest.mark.parametrize(
-    "mode_name", ["RawDavis", "RawDvs"]
+    "mode_name",
+    ["RawDavis", pytest.param("RawDvs", marks=pytest.mark.slow)],
 )
 def test_davis_batched_matches_oracle(mode_name):
     """Davis batched path (davis_event_interval + dense frame/gap calls)
@@ -285,6 +294,7 @@ def test_davis_framed_mode_batched():
     batched = run(True)
     assert oracle == batched and len(oracle) > 0
 
+@pytest.mark.slow
 def test_davis_resident_engine_matches_scan():
     """The DAVIS lanes through the T-resident Pallas kernel (dvs='davis'
     op order, compact device-side plane scatter) must reproduce the XLA
@@ -342,3 +352,105 @@ def test_davis_resident_engine_matches_scan():
         assert scan[key] == resident[key], (
             key, scan[key][:6], resident[key][:6]
         )
+
+
+def test_compact_plan_matches_dense_and_scatter():
+    """Fast-tier pin for the compact resident feed: the compact planner
+    mutates identical chain state to the dense planner (one shared math
+    path), and the device-side plane scatter (build_dvs_planes)
+    reproduces the host stack_lanes interleave bit-for-bit. The full
+    engine e2e parity pins are slow-tier (compile-heavy)."""
+    import jax.numpy as jnp
+
+    from adder_tpu.ops import dvs_batch as B
+    from adder_tpu.ops import fused_resident as FR
+
+    w, h = 14, 10
+    n = w * h
+    rng = np.random.default_rng(23)
+    n_ev = 260
+    ts = np.sort(rng.integers(5, 4000, n_ev)).astype(np.uint32)
+    xs = rng.integers(0, w, n_ev).astype(np.uint16)
+    ys = rng.integers(0, h, n_ev).astype(np.uint16)
+    ps = rng.integers(0, 2, n_ev).astype(np.uint8)
+    lt1 = np.full(n, 2, np.uint32)
+    ln1 = np.full(n, np.log1p(128.0 / 255.0), np.float64)
+    lt2, ln2 = lt1.copy(), ln1.copy()
+
+    compact = B.plan_dvs_batch_compact(
+        ts, xs, ys, ps, w, n, lt1, ln1, 0.02, 20
+    )
+    lanes = B.plan_dvs_batch(ts, xs, ys, ps, w, n, lt2, ln2, 0.02, 20)
+    np.testing.assert_array_equal(lt1, lt2)
+    np.testing.assert_array_equal(ln1, ln2)
+    L = len(lanes)
+    assert compact.n_lanes == L and L >= 2
+
+    gi, gf, gt, gm, ti, tf, tt, tm = B.stack_lanes(lanes, L)
+    T = 2 * L
+    want_inten = np.zeros((T, n), np.float32)
+    want_tsp = np.zeros((T, n), np.float32)
+    want_fvw = np.zeros((T, n), np.int32)
+    want_inten[0::2] = gi
+    want_inten[1::2] = ti
+    want_tsp[0::2] = gt
+    want_tsp[1::2] = tt
+    want_fvw[0::2] = gf | (gm.astype(np.int32) << 8)
+    want_fvw[1::2] = tf | (tm.astype(np.int32) << 8)
+
+    inten, tsp, fvw = FR.build_dvs_planes(
+        T, n, jnp.asarray(compact.pix), jnp.asarray(compact.lane),
+        jnp.asarray(compact.gap_on), jnp.asarray(compact.gap_fv),
+        jnp.asarray(compact.gap_int), jnp.asarray(compact.gap_time),
+        jnp.asarray(compact.tick_on), jnp.asarray(compact.tick_fv),
+        jnp.asarray(compact.tick_int), jnp.asarray(compact.tick_time),
+    )
+    np.testing.assert_array_equal(np.asarray(inten), want_inten)
+    np.testing.assert_array_equal(np.asarray(tsp), want_tsp)
+    np.testing.assert_array_equal(np.asarray(fvw), want_fvw)
+
+
+def test_davis_compact_plan_matches_dense_and_scatter():
+    """DAVIS twin of test_compact_plan_matches_dense_and_scatter."""
+    import jax.numpy as jnp
+
+    from adder_tpu.ops import dvs_batch as B
+    from adder_tpu.ops import fused_resident as FR
+
+    w, h = 14, 10
+    n = w * h
+    rng = np.random.default_rng(31)
+    n_ev = 240
+    ts = np.sort(rng.integers(100, 9000, n_ev)).astype(np.int64)
+    xs = rng.integers(0, w, n_ev).astype(np.uint16)
+    ys = rng.integers(0, h, n_ev).astype(np.uint16)
+    ons = rng.integers(0, 2, n_ev).astype(bool)
+    lt1 = np.zeros(n, np.int64)
+    ln1 = np.full(n, np.log1p(0.5), np.float64)
+    lt2, ln2 = lt1.copy(), ln1.copy()
+
+    compact = B.plan_davis_events_compact(
+        ts, xs, ys, ons, w, n, lt1, ln1, 0.15, 255, 1.5
+    )
+    lanes = B.plan_davis_events(
+        ts, xs, ys, ons, w, n, lt2, ln2, 0.15, 255, 1.5
+    )
+    np.testing.assert_array_equal(lt1, lt2)
+    np.testing.assert_array_equal(ln1, ln2)
+    # empty (all-inactive) lanes stay as zero rows on both paths
+    L = len(lanes)
+    assert compact.n_lanes == L and L >= 2
+
+    fi_d, dt_d, fv_d, f8_d, m_d = B.stack_davis_lanes(lanes, L)
+    want_fvw = f8_d | (m_d.astype(np.int32) << 8)
+
+    fi, dt, fv, fvw = FR.build_davis_planes(
+        L, n, jnp.asarray(compact.pix), jnp.asarray(compact.lane),
+        jnp.asarray(compact.active), jnp.asarray(compact.first_int),
+        jnp.asarray(compact.dt_ticks), jnp.asarray(compact.fval),
+        jnp.asarray(compact.fv8),
+    )
+    np.testing.assert_array_equal(np.asarray(fi), fi_d)
+    np.testing.assert_array_equal(np.asarray(dt), dt_d)
+    np.testing.assert_array_equal(np.asarray(fv), fv_d)
+    np.testing.assert_array_equal(np.asarray(fvw), want_fvw)

@@ -89,11 +89,20 @@ def _assert_chunk_equal(a, b):
         _assert_fma_tie_only(f_a, f_b)
 
 
+# fast tier keeps one FramePerfect + one Continuous pin; the Normal-mode
+# tails are slow-tier (compile-heavy on a 1-core host; full matrix runs
+# with `pytest tests/` or `-m slow` — see pytest.ini)
 MODE_CASES = [
     (Mode.FramePerfect, PixelMultiMode.Collapse, TimeMode.AbsoluteT),
-    (Mode.FramePerfect, PixelMultiMode.Normal, TimeMode.DeltaT),
+    pytest.param(
+        Mode.FramePerfect, PixelMultiMode.Normal, TimeMode.DeltaT,
+        marks=pytest.mark.slow,
+    ),
     (Mode.Continuous, PixelMultiMode.Collapse, TimeMode.AbsoluteT),
-    (Mode.Continuous, PixelMultiMode.Normal, TimeMode.AbsoluteT),
+    pytest.param(
+        Mode.Continuous, PixelMultiMode.Normal, TimeMode.AbsoluteT,
+        marks=pytest.mark.slow,
+    ),
 ]
 
 

@@ -87,11 +87,18 @@ def _assert_matches_xla(ref, got):
         _assert_fma_tie_only(f_r, f_g)
 
 
+# Normal-mode tails are slow-tier (see test_fused_kernel.MODE_CASES)
 MODE_CASES = [
     (Mode.FramePerfect, PixelMultiMode.Collapse, TimeMode.AbsoluteT),
-    (Mode.FramePerfect, PixelMultiMode.Normal, TimeMode.DeltaT),
+    pytest.param(
+        Mode.FramePerfect, PixelMultiMode.Normal, TimeMode.DeltaT,
+        marks=pytest.mark.slow,
+    ),
     (Mode.Continuous, PixelMultiMode.Collapse, TimeMode.AbsoluteT),
-    (Mode.Continuous, PixelMultiMode.Normal, TimeMode.AbsoluteT),
+    pytest.param(
+        Mode.Continuous, PixelMultiMode.Normal, TimeMode.AbsoluteT,
+        marks=pytest.mark.slow,
+    ),
 ]
 
 

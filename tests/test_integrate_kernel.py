@@ -84,13 +84,27 @@ def run_kernel(frames, params: K.TranscodeParams, c_thresh0, init_frame=None, pa
     return out
 
 
+# Normal-mode tails are slow-tier (compile-heavy; full matrix via
+# `pytest tests/` — see pytest.ini); Collapse pins stay fast
 CASES = [
-    dict(mode=Mode.FramePerfect, multi=PixelMultiMode.Normal, tm=TimeMode.AbsoluteT),
+    pytest.param(
+        dict(mode=Mode.FramePerfect, multi=PixelMultiMode.Normal,
+             tm=TimeMode.AbsoluteT),
+        marks=pytest.mark.slow,
+    ),
     dict(mode=Mode.FramePerfect, multi=PixelMultiMode.Collapse, tm=TimeMode.AbsoluteT),
     dict(mode=Mode.FramePerfect, multi=PixelMultiMode.Collapse, tm=TimeMode.DeltaT),
-    dict(mode=Mode.Continuous, multi=PixelMultiMode.Normal, tm=TimeMode.AbsoluteT),
+    pytest.param(
+        dict(mode=Mode.Continuous, multi=PixelMultiMode.Normal,
+             tm=TimeMode.AbsoluteT),
+        marks=pytest.mark.slow,
+    ),
     dict(mode=Mode.Continuous, multi=PixelMultiMode.Collapse, tm=TimeMode.AbsoluteT),
-    dict(mode=Mode.Continuous, multi=PixelMultiMode.Normal, tm=TimeMode.DeltaT),
+    pytest.param(
+        dict(mode=Mode.Continuous, multi=PixelMultiMode.Normal,
+             tm=TimeMode.DeltaT),
+        marks=pytest.mark.slow,
+    ),
 ]
 
 

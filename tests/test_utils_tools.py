@@ -273,3 +273,21 @@ def test_adder_recompress_roundtrip(tmp_path, samples_dir):
     )
     assert r3.returncode == 1
     assert "AbsoluteT" in r3.stderr
+
+
+def test_adder_to_dvs_vectorized_matches_scalar(samples_dir):
+    """The lane-vectorized DVS transcode core must reproduce the scalar
+    reference-shaped loop exactly (stream order, t, polarity, counts)."""
+    from adder_tpu.codec.decoder import open_file_decoder
+    from adder_tpu.models.adder_to_dvs import (
+        _transcode_core,
+        _transcode_core_scalar,
+    )
+
+    dec = open_file_decoder(str(samples_dir / "nyc_source_v2.adder"))
+    events = dec.digest_all()[:30000]
+    got = _transcode_core(events, dec.meta, 0.01)
+    want = _transcode_core_scalar(events, dec.meta, 0.01)
+    for g, w in zip(got, want):
+        np.testing.assert_array_equal(np.asarray(g), np.asarray(w))
+    assert len(got[0]) > 0

@@ -22,6 +22,62 @@ import numpy as np
 sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent))
 
 
+def _vmaf_score(gt_frames, recon_frames):
+    """VMAF via an ffmpeg CLI with libvmaf, when one is on PATH (the
+    in-repo analogue of the reference's evaluation/simul_frame.sh ->
+    easyVmaf docker flow, which is likewise an external tool). Returns
+    the pooled mean VMAF or None (with a stderr note) when unavailable."""
+    import json as _json
+    import shutil
+    import subprocess
+    import tempfile
+
+    ffmpeg = shutil.which("ffmpeg")
+    if ffmpeg is None:
+        print(
+            "# vmaf: no ffmpeg CLI on PATH; run the reference's easyVmaf "
+            "docker flow (evaluation/simul_frame.sh) on exported frames",
+            file=sys.stderr,
+        )
+        return None
+    k = min(len(gt_frames), len(recon_frames))
+    if k == 0:
+        return None
+    h, w = np.asarray(gt_frames[0]).shape[:2]
+    with tempfile.TemporaryDirectory() as td:
+        ref_p = pathlib.Path(td) / "ref.gray"
+        dis_p = pathlib.Path(td) / "dis.gray"
+        log_p = pathlib.Path(td) / "vmaf.json"
+        with open(ref_p, "wb") as f:
+            for fr in gt_frames[:k]:
+                f.write(np.asarray(fr, np.uint8).reshape(h, w, -1)[..., 0]
+                        .tobytes())
+        with open(dis_p, "wb") as f:
+            for fr in recon_frames[:k]:
+                f.write(np.asarray(fr, np.uint8).reshape(h, w, -1)[..., 0]
+                        .tobytes())
+        args_v = [
+            ffmpeg, "-hide_banner", "-loglevel", "error",
+            "-f", "rawvideo", "-pix_fmt", "gray", "-s", f"{w}x{h}",
+            "-i", str(dis_p),
+            "-f", "rawvideo", "-pix_fmt", "gray", "-s", f"{w}x{h}",
+            "-i", str(ref_p),
+            "-lavfi", f"libvmaf=log_fmt=json:log_path={log_p}",
+            "-f", "null", "-",
+        ]
+        try:
+            subprocess.run(args_v, check=True, capture_output=True,
+                           timeout=600)
+            with open(log_p) as f:
+                data = _json.load(f)
+            return round(
+                float(data["pooled_metrics"]["vmaf"]["mean"]), 3
+            )
+        except Exception as e:  # no libvmaf build, old ffmpeg, ...
+            print(f"# vmaf: ffmpeg/libvmaf failed: {e}", file=sys.stderr)
+            return None
+
+
 def main() -> int:
     ap = argparse.ArgumentParser(description="CRF rate/quality sweep")
     ap.add_argument("-i", "--input", required=True, help="input video (mp4)")
@@ -33,6 +89,13 @@ def main() -> int:
     ap.add_argument("--delta-t-max-mult", type=int, default=24)
     ap.add_argument("--scale", type=float, default=1.0)
     ap.add_argument("--output", default="", help="optional JSONL report path")
+    ap.add_argument(
+        "--vmaf", action="store_true",
+        help="also compute VMAF per CRF via an ffmpeg CLI with libvmaf "
+        "(the analogue of the reference's evaluation/simul_frame.sh "
+        "easyVmaf docker flow); reports null with a note when no such "
+        "ffmpeg is on PATH",
+    )
     args = ap.parse_args()
 
     from adder_tpu.codec.encoder import EncoderOptions, EncoderType
@@ -114,6 +177,8 @@ def main() -> int:
             "ssim": round(float(np.mean(ssims)), 4) if ssims else None,
             "frames": k,
         }
+        if args.vmaf:
+            row["vmaf"] = _vmaf_score(gt[:k], recon[:k])
         print(json.dumps(row))
         if out_f:
             out_f.write(json.dumps(row) + "\n")
