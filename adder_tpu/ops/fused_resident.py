@@ -61,6 +61,46 @@ from .fused_kernel import (
 def _bitcast_f32(x):
     return jax.lax.bitcast_convert_type(x, jnp.float32)
 
+
+def _rank_exclusive_band(valid: jax.Array, gr: int):
+    """Band-local exclusive flat prefix sum of a 0/1 (R, 128) array:
+    like fused_kernel._rank_exclusive but the row-offset cumsum runs only
+    WITHIN gr-row bands (log2(gr) row passes instead of log2(R)).
+    Returns (rank, y) with y the inclusive within-band row cumsum."""
+    R = valid.shape[0]
+    lane = jax.lax.broadcasted_iota(_i32, valid.shape, 1)
+    x = valid
+    s = 1
+    while s < 128:
+        sh = pltpu.roll(x, shift=s, axis=1)
+        x = x + jnp.where(lane >= s, sh, 0)
+        s *= 2
+    row_tot = x[:, 127:128]
+    rowi = jax.lax.broadcasted_iota(_i32, (R, 1), 0)
+    y = row_tot
+    s = 1
+    while s < gr:
+        sh = pltpu.roll(y, shift=s, axis=0)
+        y = y + jnp.where(rowi % gr >= s, sh, 0)
+        s *= 2
+    return x - valid + (y - row_tot), y
+
+
+def _band_total_bcast(y: jax.Array, gr: int) -> jax.Array:
+    """Broadcast each gr-row band's total (y at the band-end row) to every
+    row of the band. y: (R, 1) inclusive within-band cumsum (from
+    _rank_exclusive_band); counts are non-negative so a masked max-scan
+    upward recovers the band-end value everywhere."""
+    R = y.shape[0]
+    rowi = jax.lax.broadcasted_iota(_i32, (R, 1), 0)
+    t = jnp.where(rowi % gr == gr - 1, y, 0)
+    s = 1
+    while s < gr:
+        sh = pltpu.roll(t, shift=(R - s) % max(R, 1), axis=0)
+        t = jnp.maximum(t, jnp.where(rowi % gr < gr - s, sh, 0))
+        s *= 2
+    return t
+
 DEPTH = ops.DEPTH
 K = ops.K_SLOTS
 
@@ -73,7 +113,16 @@ _u8 = jnp.uint8
 def _kernel_body(p: ops.TranscodeParams, block: int, pack: int,
                  rows_cap: int, n_real: int, interpret: bool,
                  depth: int, emit_running: bool, debug_stage: int = 0,
-                 dvs: bool = False):
+                 dvs: bool = False, group_mode: bool = False):
+    # group_mode: the STATIC-SEGMENT compactor (round-4 compaction
+    # attempt): each (block, interval) owns a fixed JROWS-row buffer
+    # segment; events pack band-locally (8-row bands, in-band shift
+    # distances <= 1023 -> 10 passes instead of the 14 global ones) and
+    # the whole staging DMAs to its static offset — no running offset, no
+    # head/carry replay, no ordered overlapping-tail rewrites. Validity
+    # rides buffer bit31 (host masks). A band whose events exceed its
+    # 8*128 slots sets pmax bit 17 (caller falls back to the logshift
+    # kernel for that chunk).
     # dvs=True: the interval axis carries DVS lane SUB-STEPS instead of
     # frames (SURVEY P5). The frames input becomes (T, 3, B) f32 planes
     # [intensity, ticks-spanned, fv | active<<8 bitcast]; each sub-step
@@ -124,19 +173,20 @@ def _kernel_body(p: ops.TranscodeParams, block: int, pack: int,
             o_off[0] = off_in_ref[0]
             o_pmax[0] = 0
             dma_cnt[0] = 0
-            # head replay: the current partial output row (zeros on a
-            # fresh chunk)
-            row0 = jnp.minimum(off_in_ref[0] // 128, rows_cap - 1)
-            cp = pltpu.make_async_copy(
-                bufp_in.at[pl.ds(row0, 1)], headp, sem_in.at[0]
-            )
-            ct = pltpu.make_async_copy(
-                buft_in.at[pl.ds(row0, 1)], headt, sem_in.at[1]
-            )
-            cp.start()
-            ct.start()
-            cp.wait()
-            ct.wait()
+            if not group_mode:
+                # head replay: the current partial output row (zeros on a
+                # fresh chunk); group mode has no running offset
+                row0 = jnp.minimum(off_in_ref[0] // 128, rows_cap - 1)
+                cp = pltpu.make_async_copy(
+                    bufp_in.at[pl.ds(row0, 1)], headp, sem_in.at[0]
+                )
+                ct = pltpu.make_async_copy(
+                    buft_in.at[pl.ds(row0, 1)], headt, sem_in.at[1]
+                )
+                cp.start()
+                ct.start()
+                cp.wait()
+                ct.wait()
 
         at0 = t == 0
         r8 = lambda x: x.reshape(SUB, LN)
@@ -374,6 +424,114 @@ def _kernel_body(p: ops.TranscodeParams, block: int, pack: int,
         cntvec[:] = vec
         o_counts[:] = vec.reshape(1, 1, 128)
 
+        # ---- group mode: lane 0 packs band-locally into its (block,
+        # interval)'s STATIC buffer segment; lanes >= 1 (rare) fall through
+        # to the running-offset tail region below ----
+        if group_mode:
+            # 8-row bands: in-band distances <= 1023 (10 shift passes) and
+            # a 3-pass band row-scan. GR=1 (pure lane-roll shifts, 14
+            # passes total) measured 4x SLOWER compiled — Mosaic lowers
+            # the dense (64,128) lane rolls far worse than the
+            # flat-shift roll pairs; see NOTES round-4 compaction table
+            GR = min(8, JROWS)
+            GSZ = GR * 128
+            NP_B = (GSZ - 1).bit_length()
+            fband = (
+                (jax.lax.broadcasted_iota(_i32, (JROWS, 128), 0) % GR) * 128
+                + jax.lax.broadcasted_iota(_i32, (JROWS, 128), 1)
+            )
+            main_row0 = (i * nt + t) * SROWS_PHYS
+
+            def group_flush(stg_p, stg_t, sems, other_p, other_t,
+                            other_sems):
+                fp = pd[0].reshape(JROWS, 128)
+                ft = pt[0].reshape(JROWS, 128)
+                fvalid = valids[0].reshape(JROWS, 128)
+                # lane 0 has at most one event per pixel, so a band's
+                # count never exceeds its GSZ slots: dist >= 0 always
+                rank, _y = _rank_exclusive_band(fvalid, GR)
+                sign = jnp.int32(-0x80000000)
+                cp = fp | (fvalid << 31)
+                ct_ = ft
+                cd = fband - rank
+                for bi in range(NP_B):
+                    step = 1 << bi
+                    if GR == 1:
+                        sh1 = lambda x: pltpu.roll(
+                            x, shift=128 - step, axis=1
+                        )
+                        sp, st, sd = sh1(cp), sh1(ct_), sh1(cd)
+                    else:
+                        sp = _flat_shift_left(cp, step)
+                        st = _flat_shift_left(ct_, step)
+                        sd = _flat_shift_left(cd, step)
+                    take = (
+                        (sp < 0)
+                        & (fband < GSZ - step)
+                        & (((sd >> bi) & 1) != 0)
+                    )
+                    stay = (cp < 0) & (((cd >> bi) & 1) == 0)
+                    cp = jnp.where(
+                        take, sp, jnp.where(stay, cp, cp & ~sign)
+                    )
+                    ct_ = jnp.where(take, st, ct_)
+                    cd = jnp.where(take, sd - step, cd)
+                # bit31 stays SET on packed events: buffer validity marker
+                # (the host masks it; pix < 2^23 keeps the bit free)
+                stg_p[:JROWS] = _bitcast_u32(cp)
+                stg_t[:JROWS] = _bitcast_u32(ct_)
+                if SROWS_PHYS > JROWS:
+                    # pad rows of the segment must not carry stale bit31s
+                    stg_p[JROWS:SROWS_PHYS] = jnp.zeros(
+                        (SROWS_PHYS - JROWS, 128), _u32
+                    )
+                    stg_t[JROWS:SROWS_PHYS] = jnp.zeros(
+                        (SROWS_PHYS - JROWS, 128), _u32
+                    )
+
+                # same single-outstanding-DMA discipline as do_flush: by
+                # induction the wait at issue k-1 covered copy k-2, so
+                # stg_p/stg_t are reusable here
+                @pl.when(dma_cnt[0] > 0)
+                def _():
+                    pltpu.make_async_copy(
+                        other_p, o_bufp.at[pl.ds(main_row0, SROWS_PHYS)],
+                        other_sems[0],
+                    ).wait()
+                    pltpu.make_async_copy(
+                        other_t, o_buft.at[pl.ds(main_row0, SROWS_PHYS)],
+                        other_sems[1],
+                    ).wait()
+
+                pltpu.make_async_copy(
+                    stg_p, o_bufp.at[pl.ds(main_row0, SROWS_PHYS)], sems[0]
+                ).start()
+                pltpu.make_async_copy(
+                    stg_t, o_buft.at[pl.ds(main_row0, SROWS_PHYS)], sems[1]
+                ).start()
+                dma_cnt[0] = dma_cnt[0] + 1
+
+            par_g = jax.lax.rem(dma_cnt[0], 2)
+            go_g = n_js[0] > 0
+
+            @pl.when(go_g & (par_g == 0))
+            def _():
+                group_flush(
+                    stgp0, stgt0,
+                    (sem_out.at[0, 0], sem_out.at[0, 1]),
+                    stgp1, stgt1,
+                    (sem_out.at[1, 0], sem_out.at[1, 1]),
+                )
+
+            @pl.when(go_g & (par_g == 1))
+            def _():
+                group_flush(
+                    stgp1, stgt1,
+                    (sem_out.at[1, 0], sem_out.at[1, 1]),
+                    stgp0, stgt0,
+                    (sem_out.at[0, 0], sem_out.at[0, 1]),
+                )
+
         # ---- per-slot-stream compaction + ordered DMA append ----
         f_flat = (
             jax.lax.broadcasted_iota(_i32, (JROWS, 128), 0) * 128
@@ -464,7 +622,9 @@ def _kernel_body(p: ops.TranscodeParams, block: int, pack: int,
             o_off[0] = off + n_j
             dma_cnt[0] = dma_cnt[0] + 1
 
-        for j in range(pack if debug_stage < 1 else 0):
+        j_lanes = range(1 if group_mode else 0,
+                        pack if debug_stage < 1 else 0)
+        for j in j_lanes:
             par = jax.lax.rem(dma_cnt[0], 2)
             go = n_js[j] > 0
 
@@ -526,6 +686,7 @@ def make_resident_call(
     emit_running: bool = True,
     debug_stage: int = 0,
     dvs: bool = False,
+    group_mode: bool = False,
 ):
     """Build the T-resident chunk kernel call for an N-pixel plane.
 
@@ -624,7 +785,8 @@ def make_resident_call(
 
     call = pl.pallas_call(
         _kernel_body(p, block, pack, rows_cap, n_real, interpret,
-                     depth, emit_running, debug_stage, dvs=dvs),
+                     depth, emit_running, debug_stage, dvs=dvs,
+                     group_mode=group_mode),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=0,
             grid=grid,
@@ -747,6 +909,108 @@ def make_fused_chunk_resident(
         )
 
     return jax.jit(chunk_fn)
+
+
+@functools.lru_cache(maxsize=32)
+def make_group_chunk_resident(
+    p: ops.TranscodeParams,
+    tail_cap: int,
+    pack: int = 4,
+    pallas_block: int = 4096,
+    n_real: int = 0,
+    interpret: bool = False,
+    depth: int = DEPTH,
+    emit_running: bool = False,
+):
+    """Round-4 compaction-attempt variant of make_fused_chunk_resident:
+    STATIC buffer segments per (block, interval) — slot lane 0 packs
+    band-locally (in-band distances, fewer/cheaper shift passes, no
+    running offset / head-carry replay / ordered tail rewrites) with
+    buffer bit31 as the validity marker; lanes >= 1 (rare multi-event
+    pixels) append to a small running tail region with the logshift
+    machinery. tail_cap bounds the tail events (tail_used > tail_cap
+    signals overflow; rerun with a doubled tail).
+
+    Signature: (state, frames (T, N) u8, time f32, run0 (N,) u8) ->
+    (state, bufp (rows, 128) u32, buft, total, tail_used, per_interval,
+    pack_max, counts). Decode with assemble_group_events."""
+    srows_phys = ((pallas_block // 128 + 1 + 7) // 8) * 8
+    tail_rows = -(-tail_cap // 128) + srows_phys
+
+    def chunk_fn(state, frames, time, run0):
+        T, n = frames.shape
+        nb = n // pallas_block
+        main_rows = nb * T * srows_phys
+        rows_cap = main_rows + tail_rows
+        fstep = make_resident_call(
+            p, n, rows_cap, T, pallas_block, pack, n_real, interpret,
+            depth=depth, emit_running=emit_running, group_mode=True,
+        )
+        bufp0 = jnp.zeros((rows_cap, 128), _u32)
+        buft0 = jnp.zeros((rows_cap, 128), _u32)
+        (
+            state, bufp, buft, off_out, pmax, counts, run_val, run_has,
+        ) = fstep(
+            state, frames, time, bufp0, buft0,
+            jnp.asarray(main_rows * 128, _i32),
+        )
+        counts = counts[:, :T]
+        per_interval = counts.sum(axis=0)
+        total = per_interval.sum()
+        tail_used = off_out - main_rows * 128
+        return (
+            state, bufp, buft, total, tail_used, per_interval, pmax,
+            counts,
+        )
+
+    return jax.jit(chunk_fn)
+
+
+def assemble_group_events(bufp: np.ndarray, buft: np.ndarray,
+                          counts: np.ndarray, pallas_block: int,
+                          tail_used: int):
+    """Host decode of make_group_chunk_resident buffers into the reference
+    single-thread order (interval-major, raster pixel, per-pixel slot
+    order). bufp bit31 marks valid lane-0 events in the static segments;
+    the tail region carries lanes >= 1 as a contiguous prefix. Test-grade
+    (python loop over segments); the production consumer is the chained
+    no-fetch path."""
+    counts = np.asarray(counts)
+    nb, T = counts.shape
+    srows_phys = ((pallas_block // 128 + 1 + 7) // 8) * 8
+    seg = srows_phys * 128
+    main = nb * T * seg
+    bp = np.asarray(bufp).reshape(-1)
+    bt = np.asarray(buft).reshape(-1)
+    mp = bp[:main].reshape(nb, T, seg)
+    mt = bt[:main].reshape(nb, T, seg)
+    valid = (mp & 0x80000000) != 0
+    lane0 = valid.sum(axis=2)
+    tail_counts = counts - lane0
+    tp = bp[main : main + int(tail_used)]
+    tt = bt[main : main + int(tail_used)]
+    tail_off = np.concatenate(
+        [[0], np.cumsum(tail_counts.reshape(-1))]
+    ).astype(np.int64)
+    out_p: list = []
+    out_t: list = []
+    for t in range(T):
+        for i in range(nb):
+            m = valid[i, t]
+            p_seg = (mp[i, t][m] & 0x7FFFFFFF).astype(np.uint32)
+            t_seg = mt[i, t][m]
+            s = i * T + t  # tail produced in (i, t) grid order
+            a, b = tail_off[s], tail_off[s + 1]
+            if b > a:
+                p_seg = np.concatenate([p_seg, tp[a:b]])
+                t_seg = np.concatenate([t_seg, tt[a:b]])
+                o = np.argsort(
+                    (p_seg >> 8).astype(np.int64), kind="stable"
+                )
+                p_seg, t_seg = p_seg[o], t_seg[o]
+            out_p.append(p_seg)
+            out_t.append(t_seg)
+    return np.concatenate(out_p), np.concatenate(out_t)
 
 
 @functools.lru_cache(maxsize=32)

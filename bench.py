@@ -92,7 +92,12 @@ def _bench_params(ops):
     )
 
 
-def _device_loop(jax, jnp, ops, fr, H, W, channels, n_chunks=4, T=64):
+def _device_loop(jax, jnp, ops, fr, H, W, channels, n_chunks=4, T=64,
+                 kernel="group"):
+    """kernel='group': the static-segment compactor (the production
+    Empty-output/void path — events stay on device, like the reference's
+    EmptyOutput bench); 'logshift': the running-offset compactor used by
+    event-fetching pipelines."""
     BLOCK = 8192  # fewer grid steps; state+staging fit VMEM comfortably
     npx = H * W * channels
     n = ((npx + BLOCK - 1) // BLOCK) * BLOCK
@@ -101,10 +106,17 @@ def _device_loop(jax, jnp, ops, fr, H, W, channels, n_chunks=4, T=64):
     # ~0.1 events/px/interval scene; 1/px/interval cap keeps the buffer
     # zero-init + t16 finish passes small (asserted below)
     cap = n * T
-    fn = fr.make_fused_chunk_resident(
-        p, cap, 4, pallas_block=BLOCK, n_real=npx, depth=6,
-        emit_running=False,
-    )
+    if kernel == "group":
+        fn = fr.make_group_chunk_resident(
+            p, 1 << 20, 4, pallas_block=BLOCK, n_real=npx, depth=6,
+        )
+        total_idx = 3
+    else:
+        fn = fr.make_fused_chunk_resident(
+            p, cap, 4, pallas_block=BLOCK, n_real=npx, depth=6,
+            emit_running=False,
+        )
+        total_idx = 6
     state = ops.set_initial_d(
         ops.init_state(n, depth=6), jnp.asarray(frames[0].astype(np.int32))
     )
@@ -114,7 +126,7 @@ def _device_loop(jax, jnp, ops, fr, H, W, channels, n_chunks=4, T=64):
         for i in range(n_chunks)
     ]
     outs = fn(state, chunks[0], jnp.float32(255.0), run0)
-    int(jax.device_get(outs[6]))  # warmup: compile + initial burst
+    int(jax.device_get(outs[total_idx]))  # warmup: compile + initial burst
     state = outs[0]
     # pipelined: chain the remaining chunks with no intermediate sync so
     # dispatch and the tunnel's d2h RTT amortize over the whole run; one
@@ -124,7 +136,7 @@ def _device_loop(jax, jnp, ops, fr, H, W, channels, n_chunks=4, T=64):
     for c in chunks[1:]:
         outs = fn(state, c, jnp.float32(255.0), run0)
         state = outs[0]
-        totals.append(outs[6])
+        totals.append(outs[total_idx])
     int(jax.device_get(totals[-1]))  # hard sync
     dt = (time.perf_counter() - t0) / ((n_chunks - 1) * T)
     for tot in jax.device_get(totals):
@@ -226,11 +238,33 @@ def _parity_check(jax, jnp, ops, fr):
         np.asarray(og[1][:tot_g]), np.asarray(og[2][:tot_g]),
         np.asarray(og[10]),
     )
-    return (
+    ok = (
         tot_x == tot_g
         and np.array_equal(ref_p, gp)
         and np.array_equal(ref_t, gt)
     )
+
+    # the group (static-segment) compactor on real hardware vs the same
+    # CPU XLA reference — the headline kernel's recorded parity gate
+    fgrp = fr.make_group_chunk_resident(
+        p, 1 << 16, 4, pallas_block=BLOCK, n_real=H * W, depth=6,
+    )
+    oh = fgrp(
+        jax.device_put(state0, dev),
+        jax.device_put(jnp.asarray(frames), dev),
+        jnp.float32(255.0), jax.device_put(run0, dev),
+    )
+    tail_used = int(jax.device_get(oh[4]))
+    hp, ht = fr.assemble_group_events(
+        np.asarray(oh[1]), np.asarray(oh[2]), np.asarray(oh[7]), BLOCK,
+        tail_used,
+    )
+    ok_grp = (
+        int(jax.device_get(oh[3])) == tot_x
+        and np.array_equal(ref_p, hp)
+        and np.array_equal(ref_t, ht)
+    )
+    return ok and ok_grp
 
 
 def _dvs_loop(n_events=100_000, W=346, H=260, span=200_000):
@@ -728,7 +762,19 @@ def main():
         print("# framer/compression bench skipped: time budget",
               file=sys.stderr)
 
-    mono = _device_loop(jax, jnp, ops, fr, 1080, 1920, 1)
+    try:
+        mono_ls = _device_loop(
+            jax, jnp, ops, fr, 1080, 1920, 1, kernel="logshift"
+        )
+        _emit(
+            "framed_to_adder_1080p_mono_logshift", mono_ls, "Mpx/s",
+            mono_ls / BASELINE,
+        )
+    except Exception as e:
+        print(f"# mono logshift bench failed: {e}", file=sys.stderr)
+    _mark("mono_logshift")
+
+    mono = _device_loop(jax, jnp, ops, fr, 1080, 1920, 1, kernel="group")
     _emit(
         "framed_to_adder_1080p_mono_transcode", mono, "Mpx/s",
         mono / BASELINE,

@@ -186,3 +186,61 @@ def test_resident_single_interval_and_longer_chunks():
         _assert_matches_xla(
             _run_xla(p, frames, cap), _run_resident(p, frames, cap)
         )
+
+
+def test_group_compactor_matches_logshift():
+    """The static-segment (group) compactor must produce the exact event
+    stream of the logshift resident kernel: lane-0 events band-packed
+    with bit31 validity, multi-event pixels through the tail region,
+    identical carried state (round-4 compaction attempt)."""
+    import numpy as np
+
+    from adder_tpu.ops import fused_resident as FR
+    from adder_tpu.ops import integrate as ops
+
+    p = ops.TranscodeParams(
+        mode=int(Mode.FramePerfect), multi_mode=int(PixelMultiMode.Collapse),
+        time_mode=int(TimeMode.DeltaT), ref_time=255, delta_t_max=255 * 4,
+        c_thresh_max=0, c_increase_velocity=1,
+    )
+    B, n, T = 128, 512, 5
+    rng = np.random.default_rng(12)
+    frames = rng.integers(0, 256, (T, n)).astype(np.uint8)
+    state0 = ops.set_initial_d(
+        ops.init_state(n, depth=6), jnp.asarray(frames[0].astype(np.int32))
+    )
+    run0 = jnp.zeros((n,), jnp.uint8)
+    cap = ops.K_SLOTS * n * T
+
+    ref_fn = FR.make_fused_chunk_resident(
+        p, cap, 4, pallas_block=B, interpret=True, depth=6,
+        emit_running=False,
+    )
+    ro = ref_fn(state0, jnp.asarray(frames), jnp.float32(255.0), run0)
+    tot_r = int(ro[6])
+    rp, rt = FR.assemble_resident_events(
+        np.asarray(ro[1][:tot_r]), np.asarray(ro[2][:tot_r]),
+        np.asarray(ro[10]),
+    )
+
+    grp_fn = FR.make_group_chunk_resident(
+        p, tail_cap=4096, pack=4, pallas_block=B, interpret=True, depth=6,
+    )
+    go = grp_fn(state0, jnp.asarray(frames), jnp.float32(255.0), run0)
+    gstate, gbufp, gbuft, gtotal, gtail, gper, gpmax, gcounts = go
+    assert int(gtail) <= 4096
+    assert int(gtotal) == tot_r
+    gp, gt = FR.assemble_group_events(
+        np.asarray(gbufp), np.asarray(gbuft), np.asarray(gcounts), B,
+        int(gtail),
+    )
+    np.testing.assert_array_equal(gp, rp)
+    np.testing.assert_array_equal(gt, rt)
+    assert int(gtail) > 0  # multi-event pixels actually exercised the tail
+    # carried state identical
+    for a, b in zip(ro[0], gstate):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    # per-interval counts identical
+    np.testing.assert_array_equal(
+        np.asarray(gper), np.asarray(ro[7])
+    )
