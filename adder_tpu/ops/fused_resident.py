@@ -1231,7 +1231,28 @@ def assemble_resident_events(pixd: np.ndarray, t, counts: np.ndarray):
     T) i32. Within one (block, interval) segment events arrive as
     concatenated slot streams, each pixel-ascending; a stable sort by
     pixel is needed only when some pixel emitted more than one event in
-    that interval (detected per segment)."""
+    that interval (detected per segment).
+
+    Both layouts are segment-contiguous, so the hot path is the native
+    per-segment memcpy assembler (ops/native/assemble.cpp, ~500x the
+    numpy gather/scatter on a 1-core host); assemble_resident_events_np
+    is the pinned reference fallback (no g++ / exotic dtypes /
+    ADDER_TPU_NATIVE_ASSEMBLE=0)."""
+    counts = np.asarray(counts)
+    if len(pixd) > 0 and np.asarray(pixd).dtype == np.uint32:
+        from .native_assemble import assemble_native
+
+        native = assemble_native(
+            np.asarray(pixd), None if t is None else np.asarray(t), counts
+        )
+        if native is not None:
+            return native
+    return assemble_resident_events_np(pixd, t, counts)
+
+
+def assemble_resident_events_np(pixd: np.ndarray, t, counts: np.ndarray):
+    """Numpy reference implementation of assemble_resident_events (the
+    semantics the native assembler is pinned against)."""
     counts = np.asarray(counts)
     n_blocks, T = counts.shape
     total = len(pixd)

@@ -244,3 +244,45 @@ def test_group_compactor_matches_logshift():
     np.testing.assert_array_equal(
         np.asarray(gper), np.asarray(ro[7])
     )
+
+
+def test_native_assemble_matches_numpy():
+    """The C++ segment-memcpy assembler (ops/native/assemble.cpp) must
+    reproduce the numpy reference exactly: segment reorder, in-segment
+    slot-stream sort fix, zero-count segments, t=None, 8-byte t."""
+    from adder_tpu.ops.native_assemble import assemble_native
+
+    rng = np.random.default_rng(7)
+    n_blocks, T = 9, 5
+    counts = rng.integers(0, 40, size=(n_blocks, T)).astype(np.int32)
+    counts[rng.random((n_blocks, T)) < 0.3] = 0  # zero-count segments
+    total = int(counts.sum())
+    flat = counts.reshape(-1)
+    starts = np.cumsum(flat) - flat
+    pix = np.empty(total, dtype=np.uint32)
+    for s, c in enumerate(flat):
+        c = int(c)
+        seg = np.sort(rng.integers(0, 64, size=c).astype(np.uint32))
+        if c >= 4 and s % 3 == 0:  # slot-stream restart (multi-event pixel)
+            seg[-2:] = seg[:2]
+        pix[int(starts[s]):int(starts[s]) + c] = seg
+    pixd = (pix << 8) | rng.integers(0, 256, size=total).astype(np.uint32)
+    t = rng.integers(0, 1 << 30, size=total, dtype=np.uint32)
+
+    want_p, want_t = fr.assemble_resident_events_np(pixd, t, counts)
+    got = assemble_native(pixd, t, counts)
+    if got is None:
+        pytest.skip("native assembler unavailable (no g++)")
+    np.testing.assert_array_equal(got[0], want_p)
+    np.testing.assert_array_equal(got[1], want_t)
+
+    got_p, got_none = assemble_native(pixd, None, counts)
+    np.testing.assert_array_equal(got_p, want_p)
+    assert got_none is None
+
+    t64 = t.astype(np.int64)
+    _, got_t64 = assemble_native(pixd, t64, counts)
+    np.testing.assert_array_equal(got_t64, want_t.astype(np.int64))
+
+    with pytest.raises(ValueError):
+        assemble_native(pixd[:-1], None, counts)
