@@ -170,12 +170,38 @@ def plan_dvs_batch_compact(
     theta: float,
     ref: int,
 ) -> DvsCompact:
-    """Bucket a time-ordered DVS batch into per-pixel lanes and replay the
-    sequential ln-chain exactly as the scalar loop does
-    (ref: prophesee.rs:175-249). Returns the compact plan; mutates
-    last_t / last_ln to the post-batch state. All math is f64 host numpy —
-    identical to the reference's serial chain (and to the scalar oracle
-    path, which the parity tests pin)."""
+    """Lane planner for Prophesee DVS batches (ref: prophesee.rs:175-249).
+    Dispatches to the native O(E) chain walk (ops/native/dvs_plan.cpp —
+    same f64 libm math, bit-identical, suite-pinned) and falls back to the
+    numpy reference implementation below. Mutates last_t / last_ln."""
+    from .native_dvs_plan import plan_dvs_native
+
+    out = plan_dvs_native(ts, xs, ys, ps, width, last_t, last_ln, theta, ref)
+    if out is not None:
+        return out
+    return plan_dvs_batch_compact_np(
+        ts, xs, ys, ps, width, n, last_t, last_ln, theta, ref
+    )
+
+
+def plan_dvs_batch_compact_np(
+    ts: np.ndarray,
+    xs: np.ndarray,
+    ys: np.ndarray,
+    ps: np.ndarray,
+    width: int,
+    n: int,
+    last_t: np.ndarray,  # (N,) uint32, updated in place
+    last_ln: np.ndarray,  # (N,) float64, updated in place
+    theta: float,
+    ref: int,
+) -> DvsCompact:
+    """Numpy reference planner: bucket a time-ordered DVS batch into
+    per-pixel lanes and replay the sequential ln-chain exactly as the
+    scalar loop does (ref: prophesee.rs:175-249). Returns the compact
+    plan; mutates last_t / last_ln to the post-batch state. All math is
+    f64 host numpy — identical to the reference's serial chain (and to
+    the scalar oracle path, which the parity tests pin)."""
     pix = ys.astype(np.int64) * width + xs.astype(np.int64)
     # lane index = per-pixel occurrence number (stream is time-ordered, so
     # per-pixel order is preserved by stable sort)
@@ -523,11 +549,41 @@ def plan_davis_events_compact(
     ref: int,
     ticks_per_micro: float,
 ) -> DavisCompact:
-    """Lane planner for DAVIS DVS events, replaying integrate_dvs_events'
-    sequential ln chain (ref: davis.rs:235-465; the ln step is
-    MULTIPLICATIVE: last_ln *= exp(+-c)). Compact: one row per event that
-    does device work; all math f64 host numpy (one shared path — the
-    dense plan_davis_events is a view over this)."""
+    """Lane planner for DAVIS DVS events (ref: davis.rs:235-465).
+    Dispatches to the native O(E) chain walk (ops/native/dvs_plan.cpp,
+    bit-identical, suite-pinned) with the numpy reference implementation
+    below as fallback. Mutates last_t / last_ln."""
+    from .native_dvs_plan import plan_davis_native
+
+    out = plan_davis_native(
+        ts, xs, ys, ons, width, last_t, last_ln, dvs_c, ref, ticks_per_micro
+    )
+    if out is not None:
+        return out
+    return plan_davis_events_compact_np(
+        ts, xs, ys, ons, width, n, last_t, last_ln, dvs_c, ref,
+        ticks_per_micro,
+    )
+
+
+def plan_davis_events_compact_np(
+    ts: np.ndarray,  # event times, microseconds
+    xs: np.ndarray,
+    ys: np.ndarray,
+    ons: np.ndarray,  # polarity booleans
+    width: int,
+    n: int,
+    last_t: np.ndarray,  # (N,) int64 microseconds, updated in place
+    last_ln: np.ndarray,  # (N,) float64, updated in place
+    dvs_c: float,
+    ref: int,
+    ticks_per_micro: float,
+) -> DavisCompact:
+    """Numpy reference planner for DAVIS DVS events, replaying
+    integrate_dvs_events' sequential ln chain (ref: davis.rs:235-465; the
+    ln step is MULTIPLICATIVE: last_ln *= exp(+-c)). Compact: one row per
+    event that does device work; all math f64 host numpy (one shared path
+    — the dense plan_davis_events is a view over this)."""
     pix = ys.astype(np.int64) * width + xs.astype(np.int64)
     order = np.argsort(pix, kind="stable")
     sp = pix[order]

@@ -8,65 +8,37 @@ path when the toolchain is unavailable or ADDER_TPU_NATIVE_ASSEMBLE=0.
 from __future__ import annotations
 
 import ctypes
-import os
-import pathlib
-import subprocess
 import threading
 from typing import Optional, Tuple
 
 import numpy as np
 
-_NATIVE_DIR = pathlib.Path(__file__).resolve().parent / "native"
+from .native_build import load as _load_native
+
 _lib = None
-_lib_failed = False
+_lib_ready = False
 _lib_lock = threading.Lock()
 
 
-def _build_library() -> pathlib.Path:
-    src = _NATIVE_DIR / "assemble.cpp"
-    cache = pathlib.Path(
-        os.environ.get(
-            "ADDER_TPU_NATIVE_CACHE",
-            str(pathlib.Path(__file__).resolve().parents[2] / ".cache" / "native"),
-        )
-    )
-    cache.mkdir(parents=True, exist_ok=True)
-    so = cache / "libadder_assemble.so"
-    if not so.exists() or so.stat().st_mtime < src.stat().st_mtime:
-        tmp = so.with_suffix(".so.tmp")
-        subprocess.run(
-            ["g++", "-O2", "-shared", "-fPIC", "-std=c++17", "-o", str(tmp), str(src)],
-            check=True,
-            capture_output=True,
-        )
-        tmp.replace(so)
-    return so
-
-
 def _get_lib():
-    global _lib, _lib_failed
-    if _lib is not None or _lib_failed:
+    global _lib, _lib_ready
+    if _lib_ready:
         return _lib
     with _lib_lock:
-        if _lib is not None or _lib_failed:
+        if _lib_ready:
             return _lib
-        if os.environ.get("ADDER_TPU_NATIVE_ASSEMBLE", "1") == "0":
-            _lib_failed = True
-            return None
-        try:
-            lib = ctypes.CDLL(str(_build_library()))
-        except (OSError, subprocess.CalledProcessError):
-            _lib_failed = True
-            return None
-        u8p = ctypes.POINTER(ctypes.c_uint8)
-        u32p = ctypes.POINTER(ctypes.c_uint32)
-        i32p = ctypes.POINTER(ctypes.c_int32)
-        lib.adder_assemble_events.restype = ctypes.c_long
-        lib.adder_assemble_events.argtypes = [
-            u32p, u32p, u8p, u8p, ctypes.c_long,
-            i32p, ctypes.c_long, ctypes.c_long, ctypes.c_long,
-        ]
+        lib = _load_native("assemble", "ADDER_TPU_NATIVE_ASSEMBLE")
+        if lib is not None:
+            u8p = ctypes.POINTER(ctypes.c_uint8)
+            u32p = ctypes.POINTER(ctypes.c_uint32)
+            i32p = ctypes.POINTER(ctypes.c_int32)
+            lib.adder_assemble_events.restype = ctypes.c_long
+            lib.adder_assemble_events.argtypes = [
+                u32p, u32p, u8p, u8p, ctypes.c_long,
+                i32p, ctypes.c_long, ctypes.c_long, ctypes.c_long,
+            ]
         _lib = lib
+        _lib_ready = True
         return _lib
 
 

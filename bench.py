@@ -144,8 +144,11 @@ def _device_loop(jax, jnp, ops, fr, H, W, channels, n_chunks=4, T=64,
     return npx / dt / 1e6
 
 
-def _e2e_loop(jax, jnp, H=1080, W=1920, n_chunks=2, T=16):
-    """Host frames -> Video submit/collect -> events -> Empty encoder."""
+def _e2e_loop(jax, jnp, H=1080, W=1920, n_chunks=2, T=16, features=False):
+    """Host frames -> Video submit/collect -> events -> Empty encoder.
+    features=True additionally runs per-interval FAST-9/16 detection
+    (device fast_mask_jax batches + host DBSCAN; ref video.rs:883-1112) —
+    the recorded features-on throughput the round-3 verdict asked for."""
     from adder_tpu.core.types import (
         Mode, PixelMultiMode, PlaneSize, TimeMode,
     )
@@ -157,6 +160,8 @@ def _e2e_loop(jax, jnp, H=1080, W=1920, n_chunks=2, T=16):
     video = Video(PlaneSize(W, H, 1), Mode.FramePerfect)
     video.time_parameters(255 * 24, 255, 255 * 24, TimeMode.DeltaT)
     video.update_quality_manual(0, 0, 1, 0, 0)
+    if features:
+        video.update_detect_features(True)
 
     def run():
         # pipelined submit: up to two chunks in flight so device compute
@@ -181,7 +186,8 @@ def _e2e_loop(jax, jnp, H=1080, W=1920, n_chunks=2, T=16):
     tracing.set_enabled(True)
     tracing.reset()
     dt = run() / n_chunks
-    print("# e2e stage trace (timed pass):", file=sys.stderr)
+    tag = " features-on" if features else ""
+    print(f"# e2e{tag} stage trace (timed pass):", file=sys.stderr)
     for line in tracing.summary_table().splitlines():
         print(f"#   {line}", file=sys.stderr)
     tracing.set_enabled(was)
@@ -704,6 +710,19 @@ def main():
     except Exception as e:
         print(f"# e2e bench failed: {e}", file=sys.stderr)
     _mark("e2e")
+
+    # features-on e2e (round-3 verdict item 4: FAST detection must not
+    # serialize the pipeline — target within ~2x of features-off)
+    if time.perf_counter() - start < 1500:
+        try:
+            e2e_f = _e2e_loop(jax, jnp, features=True)
+            _emit(
+                "framed_to_adder_1080p_e2e_features", e2e_f, "Mpx/s",
+                e2e_f / BASELINE,
+            )
+        except Exception as e:
+            print(f"# e2e features bench failed: {e}", file=sys.stderr)
+        _mark("e2e_features")
 
     # host-driven sections already cost minutes on a slow bench host;
     # protect the headline by skipping DVS when the budget is nearly gone

@@ -454,3 +454,86 @@ def test_davis_compact_plan_matches_dense_and_scatter():
     np.testing.assert_array_equal(np.asarray(dt), dt_d)
     np.testing.assert_array_equal(np.asarray(fv), fv_d)
     np.testing.assert_array_equal(np.asarray(fvw), want_fvw)
+
+
+def test_native_dvs_planner_matches_numpy():
+    """The C++ chain walk (ops/native/dvs_plan.cpp) must reproduce the
+    numpy reference planner BIT-exactly: every compact-plan field, the
+    lane-major row order, and the mutated last_t/last_ln chain state —
+    across the drop rule (t < last_t), tick-only events (t == lt+1),
+    gap+tick events, and both mid-clamp branches."""
+    from adder_tpu.ops import dvs_batch as B
+    from adder_tpu.ops.native_dvs_plan import plan_dvs_native
+
+    w, h = 23, 17
+    n = w * h
+    rng = np.random.default_rng(41)
+    n_ev = 3000
+    ts = np.sort(rng.integers(0, 2500, n_ev)).astype(np.uint32)
+    xs = rng.integers(0, w, n_ev).astype(np.uint16)
+    ys = rng.integers(0, h, n_ev).astype(np.uint16)
+    ps = rng.integers(0, 2, n_ev).astype(np.uint8)
+    lt1 = rng.integers(0, 900, n).astype(np.uint32)  # some events drop
+    # extreme ln values exercise the mid clamp on both branches
+    ln1 = rng.uniform(-1.0, 1.2, n)
+    ln1[rng.random(n) < 0.05] = 5.0
+    lt2, ln2 = lt1.copy(), ln1.copy()
+
+    theta = 0.3  # big step: frequent clamp crossings
+    got = plan_dvs_native(ts, xs, ys, ps, w, lt1, ln1, theta, 20)
+    if got is None:
+        pytest.skip("native planner unavailable (no g++)")
+    want = B.plan_dvs_batch_compact_np(
+        ts, xs, ys, ps, w, n, lt2, ln2, theta, 20
+    )
+    for name, g, e in zip(want._fields, got, want):
+        np.testing.assert_array_equal(g, e, err_msg=f"field {name}")
+        assert g.dtype == e.dtype, (name, g.dtype, e.dtype)
+    np.testing.assert_array_equal(lt1, lt2)
+    np.testing.assert_array_equal(ln1, ln2)
+
+    # empty batch
+    e0 = plan_dvs_native(
+        np.zeros(0, np.uint32), np.zeros(0, np.uint16),
+        np.zeros(0, np.uint16), np.zeros(0, np.uint8), w, lt1, ln1,
+        theta, 20,
+    )
+    assert e0 is not None and len(e0.pix) == 0
+
+
+def test_native_davis_planner_matches_numpy():
+    """DAVIS twin: the multiplicative ln step, the dt_us==t /
+    negative-dt drop rule, unconditional last_t update, and both
+    clamp_u8 branches, bit-exact vs the numpy reference."""
+    from adder_tpu.ops import dvs_batch as B
+    from adder_tpu.ops.native_dvs_plan import plan_davis_native
+
+    w, h = 19, 13
+    n = w * h
+    rng = np.random.default_rng(43)
+    n_ev = 2500
+    ts = np.sort(rng.integers(1, 30000, n_ev)).astype(np.int64)
+    xs = rng.integers(0, w, n_ev).astype(np.uint16)
+    ys = rng.integers(0, h, n_ev).astype(np.uint16)
+    ons = rng.integers(0, 2, n_ev).astype(bool)
+    lt1 = np.zeros(n, np.int64)
+    lt1[rng.random(n) < 0.3] = 50_000  # negative-dt drops
+    # zeros keep dt_us == t (the uninitialized-pixel skip)
+    ln1 = rng.uniform(0.01, 1.4, n)
+    ln1[rng.random(n) < 0.05] = 2.5  # high-side clamp
+    ln1[rng.random(n) < 0.05] = 1e-9  # low-side clamp via shrink
+    lt2, ln2 = lt1.copy(), ln1.copy()
+
+    got = plan_davis_native(
+        ts, xs, ys, ons, w, lt1, ln1, 0.6, 255, 1.5
+    )
+    if got is None:
+        pytest.skip("native planner unavailable (no g++)")
+    want = B.plan_davis_events_compact_np(
+        ts, xs, ys, ons, w, n, lt2, ln2, 0.6, 255, 1.5
+    )
+    for name, g, e in zip(want._fields, got, want):
+        np.testing.assert_array_equal(g, e, err_msg=f"field {name}")
+        assert g.dtype == e.dtype, (name, g.dtype, e.dtype)
+    np.testing.assert_array_equal(lt1, lt2)
+    np.testing.assert_array_equal(ln1, ln2)
