@@ -205,7 +205,25 @@ def _make_batch_step(
 
     import jax
 
-    return jax.jit(step, donate_argnums=(5, 6, 7, 8, 9, 10, 11))
+    def step_packed(
+        packed, base,
+        running_ts, last_filled, last_intensity_d, last_intensity_dt,
+        win_d, win_dt, win_filled,
+    ):
+        # ONE (4, cap) i32 carrier [pix, bits(t), d, valid] — each
+        # device_put is a full RTT on a high-latency link, so the ingest
+        # ships one array per batch instead of four
+        return step(
+            packed[0],
+            jax.lax.bitcast_convert_type(packed[1], u32),
+            packed[2],
+            packed[3] != 0,
+            base,
+            running_ts, last_filled, last_intensity_d, last_intensity_dt,
+            win_d, win_dt, win_filled,
+        )
+
+    return jax.jit(step_packed, donate_argnums=(2, 3, 4, 5, 6, 7, 8))
 
 
 class DeviceFramer:
@@ -303,33 +321,37 @@ class DeviceFramer:
         m = len(events)
         if m == 0:
             return self.is_frame_0_filled()
+        import jax
+
         while i < m:
             j = min(i + self.batch_cap, m)
             cnt = j - i
-            pix = np.full(self.batch_cap, self.n, np.int32)
-            t = np.zeros(self.batch_cap, np.uint32)
-            d = np.zeros(self.batch_cap, np.int32)
-            valid = np.zeros(self.batch_cap, bool)
+            # ONE i32 carrier upload per batch (see step_packed)
+            packed = np.zeros((4, self.batch_cap), np.int32)
             if cnt:
-                pix[:cnt] = self._pix_index(events[i:j])
-                t[:cnt] = events.t[i:j].astype(np.uint32)
-                d[:cnt] = events.d[i:j].astype(np.int32)
-                valid[:cnt] = True
+                packed[0, :cnt] = self._pix_index(events[i:j])
+                packed[0, cnt:] = self.n  # pad events sort to the tail
+                packed[1, :cnt] = (
+                    events.t[i:j].astype(np.uint32).view(np.int32)
+                )
+                packed[2, :cnt] = events.d[i:j].astype(np.int32)
+                packed[3, :cnt] = 1
             (
                 self.running_ts, self.last_filled, self.li_d, self.li_dt,
                 self.win_d, self.win_dt, self.win_filled, counts, overflow,
             ) = step(
-                jnp.asarray(pix), jnp.asarray(t), jnp.asarray(d),
-                jnp.asarray(valid), jnp.int32(self.frames_written),
+                jnp.asarray(packed), jnp.int32(self.frames_written),
                 self.running_ts, self.last_filled, self.li_d, self.li_dt,
                 self.win_d, self.win_dt, self.win_filled,
             )
-            if bool(overflow):
+            # one d2h round trip for both control outputs
+            counts_h, ovf = jax.device_get((counts, overflow))
+            if bool(ovf):
                 raise OverflowError(
                     "device framer window overflow (increase `window`; the "
                     "stream violates the delta_t_max span bound)"
                 )
-            self._counts = np.array(counts)  # writable copy
+            self._counts = np.array(counts_h)  # writable copy
             i = j
         return self.is_frame_0_filled()
 
@@ -365,25 +387,28 @@ class DeviceFramer:
         return self._pop_row()
 
     def _pop_row(self) -> np.ndarray:
+        import jax
         import jax.numpy as jnp
 
         row = self.frames_written % self.window
-        dd = np.asarray(self.win_d[row])
-        dtt = np.asarray(self.win_dt[row])
-        filled = np.asarray(self.win_filled[row])
+        # dynamic row index (a python-int index bakes into the jaxpr and
+        # compiles a new executable per row value) + ONE d2h round trip
+        idx = jnp.int32(row)
+        dd, dtt, filled = jax.device_get(
+            (self.win_d[idx], self.win_dt[idx], self.win_filled[idx])
+        )
         vals = self._values_for(dd, dtt)
         # unfilled pixels inherit the carry payload (flush semantics use
         # this too; during normal pops every pixel is filled)
         if not filled.all():
-            carry = self._values_for(
-                np.asarray(self.li_d[: self.n]),
-                np.asarray(self.li_dt[: self.n]),
+            carry_d, carry_dt = jax.device_get(
+                (self.li_d[: self.n], self.li_dt[: self.n])
             )
-            vals = np.where(filled, vals, carry)
+            vals = np.where(filled, vals, self._values_for(carry_d, carry_dt))
         # recycle the row
-        self.win_d = self.win_d.at[row].set(0)
-        self.win_dt = self.win_dt.at[row].set(0)
-        self.win_filled = self.win_filled.at[row].set(False)
+        self.win_d = self.win_d.at[idx].set(0)
+        self.win_dt = self.win_dt.at[idx].set(0)
+        self.win_filled = self.win_filled.at[idx].set(False)
         self._counts[row] = 0
         self.frames_written += 1
         return vals.reshape(self.plane.shape).astype(self.out_dtype)
@@ -407,12 +432,24 @@ class DeviceFramer:
         rows = np.array(
             [(self.frames_written + i) % F for i in range(k)], np.int32
         )
-        rows_j = jnp.asarray(rows)
-        dd = np.asarray(jnp.take(self.win_d, rows_j, axis=0))
-        dtt = np.asarray(jnp.take(self.win_dt, rows_j, axis=0))
-        self.win_d = self.win_d.at[rows_j].set(0)
-        self.win_dt = self.win_dt.at[rows_j].set(0)
-        self.win_filled = self.win_filled.at[rows_j].set(False)
+        # pow2-pad the row-index shape (a fresh shape per k would compile
+        # a new executable per pop; padding rides OOB indices: take clips
+        # — host ignores rows [k:] — and the recycle scatter drops them)
+        k_pad = 1 << (k - 1).bit_length()
+        rows_pad = np.full(k_pad, F, np.int32)
+        rows_pad[:k] = rows
+        rows_j = jnp.asarray(rows_pad)
+        import jax
+
+        dd, dtt = jax.device_get(  # ONE d2h round trip
+            (
+                jnp.take(self.win_d, rows_j, axis=0, mode="clip"),
+                jnp.take(self.win_dt, rows_j, axis=0, mode="clip"),
+            )
+        )
+        self.win_d = self.win_d.at[rows_j].set(0, mode="drop")
+        self.win_dt = self.win_dt.at[rows_j].set(0, mode="drop")
+        self.win_filled = self.win_filled.at[rows_j].set(False, mode="drop")
         self._counts[rows] = 0
         out = []
         for i in range(k):

@@ -108,6 +108,52 @@ def make_masked_interval_compact(p: I.TranscodeParams, take: int):
     return jax.jit(f)
 
 
+@functools.lru_cache(maxsize=32)
+def make_masked_interval_compact_packed(p: I.TranscodeParams, take: int):
+    """make_masked_interval_compact fed by ONE (4, N) i32 carrier
+    [bits(intensity), fv, bits(time), mask] instead of four arrays: on a
+    high-latency link each device_put is a synchronous RPC, so a masked
+    call's four uploads cost ~4 RTTs; the carrier makes it one. f32
+    fields travel as i32 bit patterns (host `.view(np.int32)`) and are
+    bitcast back in-graph."""
+
+    def f(st, packed):
+        bf = lambda r: jax.lax.bitcast_convert_type(packed[r], _f32)
+        st2, sd, stt, sm, _ = masked_interval(
+            st, bf(0), packed[1], bf(2), packed[3] != 0, p
+        )
+        pixd, tt, n = I._compact_interval(sd, stt, sm, take)
+        return st2, pixd, tt, n
+
+    return jax.jit(f)
+
+
+@functools.lru_cache(maxsize=32)
+def make_masked_interval_const(
+    p: I.TranscodeParams, take: int, n: int, n_real: int,
+    intensity: float, fv: int, time: float,
+):
+    """All-real-pixels masked interval with CONSTANT arguments
+    materialized in-graph — zero host->device transfers. This is the
+    bootstrap shape (ref: prophesee.rs:150-162 — every pixel integrates
+    the mid-gray 128 for one ref tick before the event stream starts).
+    `n` is the padded state length; only pixels < n_real integrate."""
+
+    def f(st):
+        st2, sd, stt, sm, _ = masked_interval(
+            st,
+            jnp.full((n,), jnp.float32(intensity)),
+            jnp.full((n,), jnp.int32(fv)),
+            jnp.full((n,), jnp.float32(time)),
+            jnp.arange(n, dtype=_i32) < jnp.int32(n_real),
+            p,
+        )
+        pixd, tt, n_ev = I._compact_interval(sd, stt, sm, take)
+        return st2, pixd, tt, n_ev
+
+    return jax.jit(f)
+
+
 def _mid_clamp_vec(val: np.ndarray, ln: np.ndarray):
     """Vectorized utils.cv.mid_clamp_u8 (ref: transcoder/mod.rs clamp)."""
     bad = (val < 0.0) | (val > 255.0)

@@ -1149,6 +1149,79 @@ def build_dvs_planes(T, n, pix, lane, gap_on, gap_fv, gap_int, gap_time,
 
 
 @functools.lru_cache(maxsize=32)
+def make_dvs_chunk_resident_packed(
+    p: ops.TranscodeParams,
+    event_cap: int,
+    T: int,
+    n: int,
+    pallas_block: int = 4096,
+    n_real: int = 0,
+    interpret: bool = False,
+    depth: int = 16,
+):
+    """make_dvs_chunk_resident_compact fed by ONE (9, E) i32 carrier
+    instead of nine (E,) arrays. Through a high-latency link every
+    device_put is a synchronous RPC (~tens of ms regardless of size,
+    measured on this harness), so the compact path's 9 uploads per window
+    dominated the DVS e2e wall clock; the carrier makes it one.
+
+    The link is both latency- AND bandwidth-taxed, so the carrier is
+    dense — 20 bytes/event in 5 i32 rows:
+      row 0 meta: pix | lane << 20 | gap_on << 27 | tick_on << 28
+                  (pix < 2^20, lane < 128 — guaranteed by the <=64/128
+                  lane groups and DVS plane sizes; pack_dvs_plan asserts)
+      row 1 fvs:  gap_fv | tick_fv << 8 (both in [0, 255])
+      rows 2-4:   bits(gap_int), bits(gap_time), bits(tick_int) — f32
+                  fields travel as their i32 bit patterns (host
+                  `.view(np.int32)`, bitcast back in-graph; an i32
+                  carrier avoids the TPU denormal-flush trap that
+                  shipping ints as f32 bits would hit)
+    Semantics identical to make_dvs_chunk_resident_compact (pinned by
+    tests)."""
+    inner = make_dvs_chunk_resident_compact(
+        p, event_cap, T, n, pallas_block, n_real, interpret, depth
+    )
+
+    def chunk_fn(state, packed):
+        bf = lambda r: jax.lax.bitcast_convert_type(packed[r], _f32)
+        meta = packed[0]
+        return inner(
+            state,
+            meta & 0xFFFFF,
+            (meta >> 20) & 0x7F,
+            (meta >> 27) & 1 != 0,
+            packed[1] & 0xFF,
+            bf(2), bf(3),
+            (meta >> 28) & 1 != 0,
+            (packed[1] >> 8) & 0xFF,
+            bf(4),
+        )
+
+    return jax.jit(chunk_fn)
+
+
+def pack_dvs_plan(plan, E_pad: int) -> np.ndarray:
+    """Host side of make_dvs_chunk_resident_packed: a DvsCompact (or a
+    lane_slice of one) -> the (5, E_pad) i32 carrier."""
+    E = len(plan.pix)
+    if E:
+        assert int(plan.pix.max()) < (1 << 20), "plane too large for carrier"
+        assert int(plan.lane.max()) < 128, "lane group too large for carrier"
+    packed = np.zeros((5, E_pad), np.int32)
+    packed[0, :E] = (
+        plan.pix
+        | (plan.lane << 20)
+        | (plan.gap_on.astype(np.int32) << 27)
+        | (plan.tick_on.astype(np.int32) << 28)
+    )
+    packed[1, :E] = plan.gap_fv | (plan.tick_fv << 8)
+    packed[2, :E] = plan.gap_int.view(np.int32)
+    packed[3, :E] = plan.gap_time.view(np.int32)
+    packed[4, :E] = plan.tick_int.view(np.int32)
+    return packed
+
+
+@functools.lru_cache(maxsize=32)
 def make_davis_chunk_resident_compact(
     p: ops.TranscodeParams,
     event_cap: int,
@@ -1196,6 +1269,61 @@ def make_davis_chunk_resident_compact(
         return state, buf_pixd, buf_t, total, per_interval, pmax, counts
 
     return jax.jit(chunk_fn)
+
+
+@functools.lru_cache(maxsize=32)
+def make_davis_chunk_resident_packed(
+    p: ops.TranscodeParams,
+    event_cap: int,
+    T: int,
+    n: int,
+    pallas_block: int = 4096,
+    n_real: int = 0,
+    interpret: bool = False,
+    depth: int = 16,
+):
+    """make_davis_chunk_resident_compact fed by ONE (5, E) i32 carrier
+    (see make_dvs_chunk_resident_packed for why — 20 bytes/event):
+      row 0 meta: pix | lane << 20 | active << 27
+      row 1:      fv8
+      rows 2-4:   bits(first_int), bits(dt_ticks), bits(fval)."""
+    inner = make_davis_chunk_resident_compact(
+        p, event_cap, T, n, pallas_block, n_real, interpret, depth
+    )
+
+    def chunk_fn(state, packed):
+        bf = lambda r: jax.lax.bitcast_convert_type(packed[r], _f32)
+        meta = packed[0]
+        return inner(
+            state,
+            meta & 0xFFFFF,
+            (meta >> 20) & 0x7F,
+            (meta >> 27) & 1 != 0,
+            bf(2), bf(3), bf(4),
+            packed[1],
+        )
+
+    return jax.jit(chunk_fn)
+
+
+def pack_davis_plan(plan, E_pad: int) -> np.ndarray:
+    """Host side of make_davis_chunk_resident_packed: a DavisCompact ->
+    the (5, E_pad) i32 carrier."""
+    E = len(plan.pix)
+    if E:
+        assert int(plan.pix.max()) < (1 << 20), "plane too large for carrier"
+        assert int(plan.lane.max()) < 128, "lane group too large for carrier"
+    packed = np.zeros((5, E_pad), np.int32)
+    packed[0, :E] = (
+        plan.pix
+        | (plan.lane << 20)
+        | (plan.active.astype(np.int32) << 27)
+    )
+    packed[1, :E] = plan.fv8
+    packed[2, :E] = plan.first_int.view(np.int32)
+    packed[3, :E] = plan.dt_ticks.view(np.int32)
+    packed[4, :E] = plan.fval.view(np.int32)
+    return packed
 
 
 def build_davis_planes(T, n, pix, lane, active, first_int, dt_ticks, fval,

@@ -319,15 +319,13 @@ class Davis:
         fn = B.make_davis_scan_step(self._tp(), take)
         stacked = [jnp.asarray(a) for a in B.stack_davis_lanes(lanes, L_pad)]
         st, pixd, t, total, max_sub = fn(self._dev_state, *stacked)
-        total_i = int(total)
-        assert int(max_sub) <= take  # unreachable: take >= active_pixels * K
+        import jax
+
+        total_i, max_sub_i = map(int, jax.device_get((total, max_sub)))
+        assert max_sub_i <= take  # unreachable: take >= active_pixels * K
         self._dev_state = st
-        parts.append(
-            B.wire_to_events(
-                np.asarray(pixd)[:total_i], np.asarray(t)[:total_i],
-                self.plane.width,
-            )
-        )
+        pixd_h, t_h = jax.device_get((pixd[:total_i], t[:total_i]))
+        parts.append(B.wire_to_events(pixd_h, t_h, self.plane.width))
 
     def _run_davis_lanes_resident(self, plan, parts: list) -> None:
         """DAVIS lane sub-steps through the T-resident Pallas kernel
@@ -353,22 +351,18 @@ class Davis:
                 L_pad, getattr(self, "_res_lpad", 0)
             )
             E = len(g.pix)
-            E_pad = 1 << max(10, (E - 1).bit_length())
+            E_pad = max(1024, -(-E // 8192) * 8192)
             E_pad = self._res_epad = max(
                 E_pad, getattr(self, "_res_epad", 0)
             )
-            padw = (0, E_pad - E)
-            args = tuple(
-                jnp.asarray(np.pad(a, padw))
-                for a in (g.pix, g.lane, g.active, g.first_int, g.dt_ticks,
-                          g.fval, g.fv8)
-            )
+            # ONE i32 carrier upload (see make_davis_chunk_resident_packed)
+            args = (jnp.asarray(FR.pack_davis_plan(g, E_pad)),)
             cap = 1 << max(16, (max(64, E * 4) - 1).bit_length())
             cap = self._res_cap = max(cap, getattr(self, "_res_cap", 0))
             st0 = self._dev_state
             while True:
                 bound_jit_mappings()
-                fn = FR.make_davis_chunk_resident_compact(
+                fn = FR.make_davis_chunk_resident_packed(
                     self._tp(), cap, L_pad, ns, self._res_block,
                     interpret=self._res_interpret, depth=16,
                 )
@@ -379,10 +373,13 @@ class Davis:
                     break
                 cap = self._res_cap = cap * 2  # overflow: rerun larger
             self._dev_state = st
-            ap, at = FR.assemble_resident_events(
-                np.asarray(pixd[:total_i]), np.asarray(tvals[:total_i]),
-                np.asarray(counts),
+            import jax
+
+            # ONE d2h round trip (tuple device_get batches)
+            pixd_h, tvals_h, counts_h = jax.device_get(
+                (pixd[:total_i], tvals[:total_i], counts)
             )
+            ap, at = FR.assemble_resident_events(pixd_h, tvals_h, counts_h)
             parts.append(B.wire_to_events(ap, at, width))
 
     def _masked_call(self, intensity, fv, time, mask, parts: list) -> None:

@@ -300,24 +300,21 @@ class Prophesee:
         from ..ops import dvs_batch as B
 
         ns = int(self._dev_state.length.shape[0])
-        if ns != len(mask):  # resident engine pads the plane to blocks
-            padw = (0, ns - len(mask))
-            intensity = np.pad(intensity, padw)
-            fv = np.pad(fv, padw)
-            time = np.pad(time, padw)
-            mask = np.pad(mask, padw)
+        # ONE (4, ns) i32 carrier upload (each device_put is a full RTT
+        # on a high-latency link; see make_masked_interval_compact_packed)
+        packed = np.zeros((4, ns), np.int32)
+        m = len(mask)  # resident engine pads the plane to blocks
+        packed[0, :m] = np.asarray(intensity, np.float32).view(np.int32)
+        packed[1, :m] = fv
+        packed[2, :m] = np.asarray(time, np.float32).view(np.int32)
+        packed[3, :m] = mask
         K = int(self._dev_state.node_d.shape[0]) + 3
         take = 1 << (ns - 1).bit_length()  # ~1 event/px; doubles on overflow
         take = self._mask_take = max(take, getattr(self, "_mask_take", 0))
-        args = (
-            jnp.asarray(intensity, jnp.float32),
-            jnp.asarray(fv, jnp.int32),
-            jnp.asarray(time, jnp.float32),
-            jnp.asarray(mask),
-        )
+        args = (jnp.asarray(packed),)
         st0 = self._dev_state
         while True:
-            fn = B.make_masked_interval_compact(
+            fn = B.make_masked_interval_compact_packed(
                 self._tp(), min(take, K * ns)
             )
             st, pixd, tt, n_ev = fn(st0, *args)
@@ -331,12 +328,10 @@ class Prophesee:
             take = self._mask_take = take * 2
         self._dev_state = st
         n_i = min(n_i, K * ns)
-        out.append(
-            B.wire_to_events(
-                np.asarray(pixd[:n_i]), np.asarray(tt[:n_i]),
-                self.plane.width,
-            )
-        )
+        import jax
+
+        pixd_h, tt_h = jax.device_get((pixd[:n_i], tt[:n_i]))
+        out.append(B.wire_to_events(pixd_h, tt_h, self.plane.width))
 
     @staticmethod
     def _events_from_parts(parts) -> EventArray:
@@ -357,17 +352,43 @@ class Prophesee:
         ref = self.video.ref_time
         parts: list = []
         for _ in range(2):
-            self._masked_call(
-                np.full(n, 128.0, np.float32),
-                np.full(n, 128, np.int32),
-                np.full(n, float(ref), np.float32),
-                np.ones(n, bool),
-                parts,
-            )
+            self._masked_call_const(128.0, 128, float(ref), parts)
         self.running_t = 2
         arr = self._events_from_parts(parts)
         self.video.encoder.ingest_event_array(arr)
         return arr
+
+    def _masked_call_const(self, intensity: float, fv: int, time: float,
+                           out: list):
+        """_masked_call with constant all-pixel arguments materialized
+        in-graph — no host->device transfer at all (the bootstrap shape,
+        ref: prophesee.rs:150-162)."""
+        from ..ops import dvs_batch as B
+
+        ns = int(self._dev_state.length.shape[0])
+        K = int(self._dev_state.node_d.shape[0]) + 3
+        take = 1 << (ns - 1).bit_length()
+        take = self._mask_take = max(take, getattr(self, "_mask_take", 0))
+        st0 = self._dev_state
+        while True:
+            fn = B.make_masked_interval_const(
+                self._tp(), min(take, K * ns), ns, self.plane.volume(),
+                intensity, fv, time,
+            )
+            st, pixd, tt, n_ev = fn(st0)
+            if getattr(self, "void_events", False):
+                self._dev_state = st
+                return
+            n_i = int(n_ev)
+            if n_i <= take or take >= K * ns:
+                break
+            take = self._mask_take = take * 2
+        self._dev_state = st
+        n_i = min(n_i, K * ns)
+        import jax
+
+        pixd_h, tt_h = jax.device_get((pixd[:n_i], tt[:n_i]))
+        out.append(B.wire_to_events(pixd_h, tt_h, self.plane.width))
 
     def _consume_batched(self) -> EventArray:
         from ..ops import dvs_batch as B
@@ -463,23 +484,19 @@ class Prophesee:
         L_pad = self._res_lpad = max(L_pad, getattr(self, "_res_lpad", 0))
         T = 2 * L_pad
         E = len(g.pix)
-        E_pad = 1 << max(10, (E - 1).bit_length())
+        # multiple-of-8k padding (pow2 over-padded big windows by up to
+        # 2x of real h2d bytes; the sticky max already bounds compiles)
+        E_pad = max(1024, -(-E // 8192) * 8192)
         E_pad = self._res_epad = max(E_pad, getattr(self, "_res_epad", 0))
-        padw = (0, E_pad - E)
         with tracing.stage("dvs.upload", items=E):
-            args = (
-                np.pad(g.pix, padw), np.pad(g.lane, padw),
-                np.pad(g.gap_on, padw), np.pad(g.gap_fv, padw),
-                np.pad(g.gap_int, padw), np.pad(g.gap_time, padw),
-                np.pad(g.tick_on, padw), np.pad(g.tick_fv, padw),
-                np.pad(g.tick_int, padw),
-            )
-            args = tuple(jnp.asarray(a) for a in args)
+            # ONE i32 carrier upload (each device_put is a full RTT on a
+            # high-latency link; see make_dvs_chunk_resident_packed)
+            args = (jnp.asarray(FR.pack_dvs_plan(g, E_pad)),)
         active_total = int(g.gap_on.sum() + g.tick_on.sum())
         cap = 1 << max(16, (max(64, active_total * 4) - 1).bit_length())
         cap = self._res_cap = max(cap, getattr(self, "_res_cap", 0))
         bound_jit_mappings()
-        fn = FR.make_dvs_chunk_resident_compact(
+        fn = FR.make_dvs_chunk_resident_packed(
             self._tp(), cap, T, ns, self._res_block,
             interpret=self._res_interpret, depth=16,
         )
@@ -512,7 +529,7 @@ class Prophesee:
                 break
             cap = pending["cap"] = cap * 2  # overflow: rerun larger
             self._res_cap = max(cap, self._res_cap)
-            fn = FR.make_dvs_chunk_resident_compact(
+            fn = FR.make_dvs_chunk_resident_packed(
                 self._tp(), cap, pending["T"], pending["ns"],
                 self._res_block, interpret=self._res_interpret, depth=16,
             )
@@ -520,9 +537,13 @@ class Prophesee:
             # stays valid (cap truncates the event buffer only)
             outs = fn(pending["state_before"], *pending["args"])
         with tracing.stage("dvs.event_fetch", items=total_i):
-            pixd_h = np.asarray(pixd[:total_i])
-            tvals_h = np.asarray(tvals[:total_i])
-            counts_h = np.asarray(counts)
+            # ONE d2h round trip (device_get batches a tuple; separate
+            # np.asarray calls pay one RTT each on this link)
+            import jax
+
+            pixd_h, tvals_h, counts_h = jax.device_get(
+                (pixd[:total_i], tvals[:total_i], counts)
+            )
         with tracing.stage("dvs.assemble", items=total_i):
             ap, at = FR.assemble_resident_events(pixd_h, tvals_h, counts_h)
             return B.wire_to_events(ap, at, self.plane.width)
@@ -557,7 +578,9 @@ class Prophesee:
         st0 = self._dev_state
         stacked = [jnp.asarray(a) for a in B.stack_lanes(lanes, L_pad)]
         st, pixd, t, total, max_sub = fn(st0, *stacked)
-        total_i, max_sub_i = int(total), int(max_sub)
+        import jax
+
+        total_i, max_sub_i = map(int, jax.device_get((total, max_sub)))
         if max_sub_i > take:  # unreachable bound check
             parts: list = []
             for lane in lanes:
@@ -573,8 +596,7 @@ class Prophesee:
                     )
             return parts
         self._dev_state = st
-        pixd_np = np.asarray(pixd)[:total_i]
-        t_np = np.asarray(t)[:total_i]
+        pixd_np, t_np = jax.device_get((pixd[:total_i], t[:total_i]))
         return [B.wire_to_events(pixd_np, t_np, self.plane.width)]
 
     def _end_events_batched(self):

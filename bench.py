@@ -506,10 +506,34 @@ def _framer_loop():
         fs.pop_next_frame()
         n_frames += 1
     frame_dt = time.perf_counter() - t0
+
+    # device framer (framer/device.py — the accelerator reconstruction
+    # path; ref decode_benchmark.rs drives the host one)
+    from adder_tpu.framer.device import DeviceFramer
+
+    db = (
+        FramerBuilder(m.plane)
+        .time_parameters(m.tps, m.ref_interval, m.delta_t_max, fps)
+        .codec_meta(m.codec_version, m.time_mode)
+        .source_info(dec.get_source_type(), m.source_camera)
+    )
+    # warm pass: a full ingest+drain (compiles the batch step AND every
+    # pop/recycle op shape — a prefix warm leaves the drain ops cold and
+    # times ~30 s of XLA compiles on a 1-core host)
+    df = DeviceFramer(db)
+    df.ingest_event_array(events)
+    df.drain()
+    df = DeviceFramer(db)
+    t0 = time.perf_counter()
+    df.ingest_event_array(events)
+    dev_frames = len(df.drain())
+    dev_dt = time.perf_counter() - t0
     return (
         len(events) / digest_dt / 1e6,
         len(events) / frame_dt / 1e6,
         n_frames,
+        len(events) / dev_dt / 1e6,
+        dev_frames,
     )
 
 
@@ -747,11 +771,12 @@ def main():
     # configs c/d/e; round-3 verdict items 3 and 8)
     if time.perf_counter() - start < 2000:
         try:
-            dig, frm, n_frames = _framer_loop()
+            dig, frm, n_frames, dev_frm, n_dev = _framer_loop()
             _emit("adder_decode_digest", dig, "Mev/s")
             _emit("adder_to_framed_reconstruct", frm, "Mev/s")
-            print(f"# framer reconstructed {n_frames} frames",
-                  file=sys.stderr)
+            _emit("adder_to_framed_reconstruct_device", dev_frm, "Mev/s")
+            print(f"# framer reconstructed {n_frames} frames "
+                  f"(device path: {n_dev})", file=sys.stderr)
         except Exception as e:
             print(f"# framer bench failed: {e}", file=sys.stderr)
         _mark("framer")

@@ -537,3 +537,114 @@ def test_native_davis_planner_matches_numpy():
         assert g.dtype == e.dtype, (name, g.dtype, e.dtype)
     np.testing.assert_array_equal(lt1, lt2)
     np.testing.assert_array_equal(ln1, ln2)
+
+
+def test_packed_carriers_roundtrip_and_masked_parity():
+    """The single-upload i32 carriers (pack_dvs_plan / pack_davis_plan /
+    the (4, N) masked-call carrier) must decode in-graph to exactly the
+    arrays the unpacked paths ship, and the packed/const masked-interval
+    dispatches must produce identical states and events to the unpacked
+    one (each device_put is a full RTT on a high-latency link, so the
+    production sources ship one carrier per call)."""
+    import jax
+    import jax.numpy as jnp
+
+    from adder_tpu.ops import dvs_batch as B
+    from adder_tpu.ops import fused_resident as FR
+    from adder_tpu.ops import integrate as I
+    from adder_tpu.core.types import Mode, TimeMode
+
+    w, h = 23, 11
+    n = w * h
+    rng = np.random.default_rng(47)
+    n_ev = 500
+    ts = np.sort(rng.integers(5, 3000, n_ev)).astype(np.uint32)
+    xs = rng.integers(0, w, n_ev).astype(np.uint16)
+    ys = rng.integers(0, h, n_ev).astype(np.uint16)
+    ps = rng.integers(0, 2, n_ev).astype(np.uint8)
+    lt = np.full(n, 2, np.uint32)
+    ln = np.full(n, np.log1p(128.0 / 255.0), np.float64)
+    plan = B.plan_dvs_batch_compact(ts, xs, ys, ps, w, n, lt, ln, 0.02, 20)
+
+    # carrier round-trip: pack -> in-graph unpack == the unpacked fields
+    # (20-byte/event dense layout: meta word, fv word, 3 f32-bit rows)
+    E_pad = len(plan.pix) + 13
+    packed = jnp.asarray(FR.pack_dvs_plan(plan, E_pad))
+    bf = lambda r: jax.lax.bitcast_convert_type(packed[r], jnp.float32)
+    E = len(plan.pix)
+    meta = np.asarray(packed[0])
+    np.testing.assert_array_equal((meta & 0xFFFFF)[:E], plan.pix)
+    np.testing.assert_array_equal(((meta >> 20) & 0x7F)[:E], plan.lane)
+    np.testing.assert_array_equal(
+        (((meta >> 27) & 1) != 0)[:E], plan.gap_on
+    )
+    np.testing.assert_array_equal(
+        (((meta >> 28) & 1) != 0)[:E], plan.tick_on
+    )
+    fvs = np.asarray(packed[1])
+    np.testing.assert_array_equal((fvs & 0xFF)[:E], plan.gap_fv)
+    np.testing.assert_array_equal(((fvs >> 8) & 0xFF)[:E], plan.tick_fv)
+    np.testing.assert_array_equal(np.asarray(bf(2))[:E], plan.gap_int)
+    np.testing.assert_array_equal(np.asarray(bf(3))[:E], plan.gap_time)
+    np.testing.assert_array_equal(np.asarray(bf(4))[:E], plan.tick_int)
+    assert not (((meta >> 27) & 1) != 0)[E:].any()  # padding is inert
+    assert not (((meta >> 28) & 1) != 0)[E:].any()
+
+    # davis carrier
+    lt_d = np.zeros(n, np.int64)
+    ln_d = np.full(n, np.log1p(0.5), np.float64)
+    dplan = B.plan_davis_events_compact(
+        ts.astype(np.int64), xs, ys, ps.astype(bool), w, n, lt_d, ln_d,
+        0.15, 255, 1.5,
+    )
+    dp = jnp.asarray(FR.pack_davis_plan(dplan, len(dplan.pix) + 5))
+    Ed = len(dplan.pix)
+    bfd = lambda r: jax.lax.bitcast_convert_type(dp[r], jnp.float32)
+    dmeta = np.asarray(dp[0])
+    np.testing.assert_array_equal((dmeta & 0xFFFFF)[:Ed], dplan.pix)
+    np.testing.assert_array_equal(((dmeta >> 20) & 0x7F)[:Ed], dplan.lane)
+    np.testing.assert_array_equal(
+        (((dmeta >> 27) & 1) != 0)[:Ed], dplan.active
+    )
+    np.testing.assert_array_equal(np.asarray(bfd(2))[:Ed], dplan.first_int)
+    np.testing.assert_array_equal(np.asarray(bfd(3))[:Ed], dplan.dt_ticks)
+    np.testing.assert_array_equal(np.asarray(bfd(4))[:Ed], dplan.fval)
+    np.testing.assert_array_equal(np.asarray(dp[1])[:Ed], dplan.fv8)
+
+    # masked-interval: unpacked vs packed vs const, identical state+events
+    p = I.TranscodeParams(
+        mode=int(Mode.Continuous), time_mode=int(TimeMode.AbsoluteT),
+        ref_time=20, delta_t_max=40, c_thresh_max=10,
+        c_increase_velocity=1,
+    )
+    st0 = I.init_state(n, depth=8)
+    take = 1 << (n - 1).bit_length()
+    inten = np.full(n, 128.0 * 20, np.float32)
+    fv = np.full(n, 128, np.int32)
+    tme = np.full(n, 20.0, np.float32)
+    mask = np.ones(n, bool)
+
+    f_u = B.make_masked_interval_compact(p, take)
+    st_u, pix_u, t_u, n_u = f_u(
+        st0, jnp.asarray(inten), jnp.asarray(fv), jnp.asarray(tme),
+        jnp.asarray(mask),
+    )
+    pk = np.zeros((4, n), np.int32)
+    pk[0] = inten.view(np.int32)
+    pk[1] = fv
+    pk[2] = tme.view(np.int32)
+    pk[3] = mask
+    f_p = B.make_masked_interval_compact_packed(p, take)
+    st_p, pix_p, t_p, n_p = f_p(st0, jnp.asarray(pk))
+    f_c = B.make_masked_interval_const(p, take, n, n, 128.0 * 20, 128, 20.0)
+    st_c, pix_c, t_c, n_c = f_c(st0)
+    assert int(n_u) == int(n_p) == int(n_c)
+    k = int(n_u)
+    np.testing.assert_array_equal(np.asarray(pix_u)[:k], np.asarray(pix_p)[:k])
+    np.testing.assert_array_equal(np.asarray(pix_u)[:k], np.asarray(pix_c)[:k])
+    np.testing.assert_array_equal(np.asarray(t_u)[:k], np.asarray(t_p)[:k])
+    np.testing.assert_array_equal(np.asarray(t_u)[:k], np.asarray(t_c)[:k])
+    for a, b in zip(jax.tree.leaves(st_u), jax.tree.leaves(st_p)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    for a, b in zip(jax.tree.leaves(st_u), jax.tree.leaves(st_c)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))

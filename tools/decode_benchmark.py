@@ -50,7 +50,8 @@ def main():
         from adder_tpu.framer.device import DeviceFramer
 
         fr = DeviceFramer(b)
-        fr.ingest_event_array(events[:1])  # warm the jit outside the timing
+        fr.ingest_event_array(events)  # warm ingest + pop ops off the clock
+        fr.drain()
         fr = DeviceFramer(b)
         t0 = time.perf_counter()
         fr.ingest_event_array(events)
