@@ -346,7 +346,8 @@ class Davis:
         for g0 in range(0, n_lanes, GROUP):
             g = plan.lane_slice(g0, g0 + GROUP) if n_lanes > GROUP else plan
             L = min(n_lanes - g0, GROUP)
-            L_pad = 1 << (L - 1).bit_length()
+            # multiple-of-4 lane padding (see prophesee._submit_dvs_group)
+            L_pad = max(4, -(-L // 4) * 4)
             L_pad = self._res_lpad = max(
                 L_pad, getattr(self, "_res_lpad", 0)
             )

@@ -480,7 +480,10 @@ class Prophesee:
         from ..runtime import bound_jit_mappings
 
         ns = self._res_nstate
-        L_pad = 1 << (L - 1).bit_length()
+        # multiple-of-4 lane padding (pow2 ran up to 2x the sub-steps on
+        # big windows: L=18 padded to 32 -> T=64; sticky max bounds
+        # compile count at 16 growth steps over a process lifetime)
+        L_pad = max(4, -(-L // 4) * 4)
         L_pad = self._res_lpad = max(L_pad, getattr(self, "_res_lpad", 0))
         T = 2 * L_pad
         E = len(g.pix)

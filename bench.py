@@ -347,8 +347,11 @@ def _dvs_loop(n_events=100_000, W=346, H=260, span=200_000):
         return {k: getattr(src, k, 0) for k in STICKIES}
 
     _, warm = run(path, n_events)  # compiles at the sticky shapes
+    # best-of-2: the tunnel's throughput varies minute to minute; the
+    # faster pass is the truer code measurement
     dt, _ = run(path, n_events, seeds_of(warm))
-    windowed = n_events / dt / 1e6
+    dt2, _ = run(path, n_events, seeds_of(warm))
+    windowed = n_events / min(dt, dt2) / 1e6
 
     # offline bulk mode: one big window (view_fps=1), void output — the
     # integration-rate analogue of the mono device loop, including host
@@ -374,10 +377,9 @@ def _dvs_loop(n_events=100_000, W=346, H=260, span=200_000):
         f.write(rec2.tobytes())
         bulk_path = f.name
     _, warm2 = run(bulk_path, n_bulk, seeds_of(warm), view_fps=1, void=True)
-    dt2, _ = run(
-        bulk_path, n_bulk, seeds_of(warm2), view_fps=1, void=True
-    )
-    return windowed, n_bulk / dt2 / 1e6
+    dt_a, _ = run(bulk_path, n_bulk, seeds_of(warm2), view_fps=1, void=True)
+    dt_b, _ = run(bulk_path, n_bulk, seeds_of(warm2), view_fps=1, void=True)
+    return windowed, n_bulk / min(dt_a, dt_b) / 1e6
 
 
 def _dvs_device_loop(jax, jnp, n_events=600_000, W=346, H=260, windows=4):
