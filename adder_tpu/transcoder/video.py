@@ -57,11 +57,16 @@ def _make_feature_lookup(H: int, W: int, C: int, n: int):
     frames (ref predicate: cv.rs:26-212 via utils.cv.fast_mask_jax)."""
     from ..utils.cv import fast_mask_jax
 
-    def f(runnings, ii, yy, xx):
+    def f(runnings, cand):
+        # cand: ONE (3, pad) i32 carrier [interval, y, x] — one upload
+        # instead of three (each device_put is a full RTT on this link)
+        ii, yy, xx = cand[0], cand[1], cand[2]
         T = runnings.shape[0]
         frames = runnings[:, :n].reshape(T, H, W, C)[..., 0]
         masks = jax.vmap(fast_mask_jax)(frames)
-        return masks[ii, yy, xx]
+        # bit-pack the per-candidate corner bits (8x less d2h; the pad is
+        # a power of two >= 256, so it divides by 8)
+        return jnp.packbits(masks[ii, yy, xx])
 
     return jax.jit(f)
 
@@ -798,11 +803,12 @@ class Video:
             self.plane.height, self.plane.width, self.plane.channels, self.n
         )
         with tracing.stage("video.features.mask_lookup", items=n_c):
-            bits = fn(
-                jnp.asarray(runnings), jnp.asarray(np.pad(ii, padw)),
-                jnp.asarray(np.pad(yy, padw)), jnp.asarray(np.pad(xx, padw)),
-            )
-            return np.asarray(bits)[:n_c]
+            cand = np.zeros((3, pad), np.int32)
+            cand[0, :n_c] = ii
+            cand[1, :n_c] = yy
+            cand[2, :n_c] = xx
+            bits = fn(jnp.asarray(runnings), jnp.asarray(cand))
+            return np.unpackbits(np.asarray(bits))[:n_c].astype(bool)
 
     def cluster(self, points_set: set) -> list:
         """DBSCAN over feature coordinates; returns bounding boxes
