@@ -607,21 +607,28 @@ def _compression_loop():
 
 def _adder_to_dvs_loop(tmp_dir):
     """ADDER->DVS conversion + round trip (BASELINE config e; ref:
-    adder-to-dvs/src/main.rs:477): synthetic clip -> .adder ->
-    adder_to_dvs (binary Prophesee wire) -> Prophesee re-transcode ->
-    reconstruction PSNR between the two .adder streams. Returns
-    (convert Mev/s, n_dvs_events, roundtrip PSNR dB)."""
+    adder-to-dvs/src/main.rs:477): conversion rate on the nyc fixture,
+    and an EVENT-DOMAIN round trip — synthetic DVS raw -> Prophesee
+    transcode -> .adder -> adder_to_dvs at the same theta -> per-pixel
+    polarity-count precision/recall vs the input events. (A frame-PSNR
+    round trip is ill-posed: DVS streams carry temporal contrast from an
+    unknown absolute level, so reconstructions differ by design.)
+    Precision ~1 means the conversion invents essentially nothing;
+    recall measures the representation's temporal quantization on an
+    adversarially random stream (polarity flips inside one ADDER
+    integration span cancel). Returns
+    (convert Mev/s, n_dvs_events, precision, recall)."""
+    import io
     import os
 
-    from adder_tpu.codec.decoder import open_file_decoder
     from adder_tpu.codec.encoder import EncoderOptions, EncoderType
     from adder_tpu.core.types import (
-        PixelMultiMode, PlaneSize, SourceCamera, TimeMode,
+        PixelMultiMode, SourceCamera, TimeMode,
     )
-    from adder_tpu.framer.driver import FramerBuilder
     from adder_tpu.models.adder_to_dvs import adder_to_dvs
-    from adder_tpu.transcoder.framed import FramedArray
-    from adder_tpu.transcoder.prophesee import Prophesee
+    from adder_tpu.transcoder.prophesee import (
+        Prophesee, decode_events_np, parse_header,
+    )
 
     # conversion rate on the reference nyc fixture (real content; the
     # synthetic blob scene is too smooth to cross the DVS theta)
@@ -632,73 +639,60 @@ def _adder_to_dvs_loop(tmp_dir):
     conv_dt = time.perf_counter() - t0
     rate = 60000 / conv_dt / 1e6
 
-    # round-trip fidelity on a lossless synthetic clip
-    H, W, T = 64, 64, 10
-    frames = _scene(H, W, H * W, T, seed=11).reshape(T, H, W, 1)
-    a_path = os.path.join(tmp_dir, "a.adder")
-    src = FramedArray(frames, source_fps=30.0, chunk_frames=5)
-    src.auto_time_parameters(255, 255 * 4, TimeMode.AbsoluteT)
-    src.crf(0)
+    # event-domain round trip on a synthetic DVS stream
+    W, H, n_ev = 64, 48, 20000
+    rng = np.random.default_rng(3)
+    t = np.sort(rng.integers(1000, 120_000, n_ev)).astype(np.uint32)
+    x = rng.integers(0, W, n_ev)
+    y = rng.integers(0, H, n_ev)
+    p = rng.integers(0, 2, n_ev)
+    w = (
+        (p.astype(np.uint64) << 28)
+        | (y.astype(np.uint64) << 14)
+        | x.astype(np.uint64)
+    )
+    rec = np.empty(n_ev * 2, np.uint32)
+    rec[0::2] = t
+    rec[1::2] = w.astype(np.uint32)
+    raw = os.path.join(tmp_dir, "rt.raw")
+    with open(raw, "wb") as f:
+        f.write(f"% Height {H}\n% Width {W}\n".encode())
+        f.write(bytes([0, 8]))
+        f.write(rec.tobytes())
+
+    a_path = os.path.join(tmp_dir, "rt.adder")
+    src = Prophesee(20, raw, batched=True, view_fps=1)  # bulk windows
+    theta = src.camera_theta
     src.write_out(
-        SourceCamera.FramedU8, TimeMode.AbsoluteT, PixelMultiMode.Collapse,
-        None, EncoderType.Raw, EncoderOptions.default(src.video.plane),
+        SourceCamera.Dvs, TimeMode.AbsoluteT, PixelMultiMode.Collapse,
+        None, EncoderType.Raw, EncoderOptions.default(src.plane),
         open(a_path, "wb"),
     )
     while True:
         try:
-            src.consume_batch()
+            src.consume()
         except EOFError:
             break
-    src.video.end_write_stream().close()
+    src.end_write_stream().close()
 
-    dvs_path = os.path.join(tmp_dir, "a.dvs.raw")
-    with open(dvs_path, "wb") as f:
-        stats = adder_to_dvs(a_path, f, output_mode="binary", theta=0.005)
+    out = io.BytesIO()
+    stats = adder_to_dvs(a_path, out, output_mode="binary", theta=theta)
     stats["n_dvs_events"] += nyc_stats["n_dvs_events"]
+    data = out.getvalue()
+    bod, _, _, _ = parse_header(io.BytesIO(data))
+    _, x2, y2, p2 = decode_events_np(data[bod:])
 
-    # round trip: the binary output is Prophesee RAW wire — re-transcode
-    b_path = os.path.join(tmp_dir, "b.adder")
-    back = Prophesee(20, dvs_path, batched=True)
-    back.write_out(
-        SourceCamera.Dvs, TimeMode.AbsoluteT, PixelMultiMode.Collapse,
-        None, EncoderType.Raw, EncoderOptions.default(back.plane),
-        open(b_path, "wb"),
-    )
-    while True:
-        try:
-            back.consume()
-        except EOFError:
-            break
-    back.end_write_stream().close()
+    def keyed(xa, ya, pa):
+        k = (
+            ya.astype(np.int64) * W + xa.astype(np.int64)
+        ) * 2 + pa.astype(np.int64)
+        return np.bincount(k, minlength=W * H * 2)
 
-    def recon(path, shape):
-        dec = open_file_decoder(path)
-        m = dec.meta
-        fps = m.tps / max(m.ref_interval, 1)
-        fs = (
-            FramerBuilder(m.plane)
-            .time_parameters(m.tps, m.ref_interval, m.delta_t_max, fps)
-            .codec_meta(m.codec_version, m.time_mode)
-            .source_info(dec.get_source_type(), m.source_camera)
-            .finish()
-        )
-        fs.ingest_event_array(dec.digest_all())
-        out = []
-        while fs.is_frame_0_filled():
-            vals, _ = fs.pop_next_frame()
-            out.append(np.asarray(vals).reshape(shape))
-        return out
-
-    ra = recon(a_path, (H, W))
-    rb = recon(b_path, (back.plane.height, back.plane.width))
-    n = min(len(ra), len(rb))
-    if n == 0:
-        return rate, stats["n_dvs_events"], 0.0
-    A = np.stack(ra[:n]).astype(np.float64)
-    Bm = np.stack([f[:H, :W] for f in rb[:n]]).astype(np.float64)
-    mse = float(((A - Bm) ** 2).mean())
-    psnr = 10 * np.log10(255.0**2 / max(mse, 1e-9))
-    return rate, stats["n_dvs_events"], psnr
+    ca, cb = keyed(x, y, p), keyed(x2, y2, p2)
+    matched = np.minimum(ca, cb).sum()
+    precision = float(matched / max(cb.sum(), 1))
+    recall = float(matched / max(ca.sum(), 1))
+    return rate, stats["n_dvs_events"], precision, recall
 
 
 def main():
@@ -798,9 +792,10 @@ def main():
             import tempfile
 
             with tempfile.TemporaryDirectory() as td:
-                rate, n_dvs, psnr = _adder_to_dvs_loop(td)
+                rate, n_dvs, prec, rec = _adder_to_dvs_loop(td)
             _emit("adder_to_dvs_convert", rate, "Mev/s")
-            _emit("adder_to_dvs_roundtrip_psnr", psnr, "dB")
+            _emit("adder_to_dvs_roundtrip_event_precision", prec, "frac")
+            _emit("adder_to_dvs_roundtrip_event_recall", rec, "frac")
             print(f"# adder_to_dvs emitted {n_dvs} DVS events",
                   file=sys.stderr)
         except Exception as e:
