@@ -202,7 +202,15 @@ def test_edi_color_aps_frames(tmp_path):
         assert pkt.frame.shape == (48, 64)
 
 
-@pytest.mark.parametrize("batched", [False, True], ids=["oracle", "batched"])
+@pytest.mark.parametrize(
+    "batched",
+    # the batched variant repeats pins held elsewhere in the fast tier
+    # (batched-Davis parity: test_dvs_batch.test_davis_batched_matches_
+    # oracle[RawDavis]; the aedat4->EDI->Davis e2e path: the oracle
+    # variant here) at ~200 s of scan-engine compiles — slow tier
+    [False, pytest.param(True, marks=pytest.mark.slow)],
+    ids=["oracle", "batched"],
+)
 def test_davis_aedat4_to_adder_e2e(tmp_path, batched):
     """aedat4 -> EDI -> Davis source -> .adder file decodes back (both the
     scalar-oracle and the batched device integration paths consume the
