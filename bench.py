@@ -43,12 +43,29 @@ import numpy as np
 
 BASELINE = 10 * 1920 * 1080 * 24 / 1e6  # 10x realtime 1080p24, Mpx/s
 
+# every metric emitted during the run, in order — re-emitted as one
+# compact trailing block so the driver's stdout-tail capture cannot lose
+# early sections (round-4 artifact lost the parity gate, color, and
+# featureless-e2e lines to tail truncation)
+_ALL_METRICS = []
+
 
 def _emit(metric, value, unit, vs=None):
     rec = {"metric": metric, "value": round(value, 2), "unit": unit}
     if vs is not None:
         rec["vs_baseline"] = round(vs, 3)
+    _ALL_METRICS.append(rec)
     print(json.dumps(rec), flush=True)
+
+
+def _emit_trailing_summary(headline_metric):
+    """Re-emit every metric compactly, headline LAST (the driver parses
+    the final JSON line as the headline record)."""
+    print("# == trailing summary: all metrics re-emitted ==", flush=True)
+    head = [r for r in _ALL_METRICS if r["metric"] == headline_metric]
+    rest = [r for r in _ALL_METRICS if r["metric"] != headline_metric]
+    for rec in rest + head[-1:]:
+        print(json.dumps(rec, separators=(",", ":")), flush=True)
 
 
 def _scene(H, W, n, T_total, seed=7):
@@ -823,6 +840,7 @@ def main():
         mono / BASELINE,
     )
     _mark("mono")
+    _emit_trailing_summary("framed_to_adder_1080p_mono_transcode")
 
 
 if __name__ == "__main__":
