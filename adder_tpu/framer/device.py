@@ -323,29 +323,34 @@ class DeviceFramer:
             return self.is_frame_0_filled()
         import jax
 
+        from ..utils import tracing
+
         while i < m:
             j = min(i + self.batch_cap, m)
             cnt = j - i
             # ONE i32 carrier upload per batch (see step_packed)
-            packed = np.zeros((4, self.batch_cap), np.int32)
-            if cnt:
-                packed[0, :cnt] = self._pix_index(events[i:j])
-                packed[0, cnt:] = self.n  # pad events sort to the tail
-                packed[1, :cnt] = (
-                    events.t[i:j].astype(np.uint32).view(np.int32)
+            with tracing.stage("device_framer.pack"):
+                packed = np.zeros((4, self.batch_cap), np.int32)
+                if cnt:
+                    packed[0, :cnt] = self._pix_index(events[i:j])
+                    packed[0, cnt:] = self.n  # pad events sort to the tail
+                    packed[1, :cnt] = (
+                        events.t[i:j].astype(np.uint32).view(np.int32)
+                    )
+                    packed[2, :cnt] = events.d[i:j].astype(np.int32)
+                    packed[3, :cnt] = 1
+            with tracing.stage("device_framer.dispatch"):
+                (
+                    self.running_ts, self.last_filled, self.li_d, self.li_dt,
+                    self.win_d, self.win_dt, self.win_filled, counts, overflow,
+                ) = step(
+                    jnp.asarray(packed), jnp.int32(self.frames_written),
+                    self.running_ts, self.last_filled, self.li_d, self.li_dt,
+                    self.win_d, self.win_dt, self.win_filled,
                 )
-                packed[2, :cnt] = events.d[i:j].astype(np.int32)
-                packed[3, :cnt] = 1
-            (
-                self.running_ts, self.last_filled, self.li_d, self.li_dt,
-                self.win_d, self.win_dt, self.win_filled, counts, overflow,
-            ) = step(
-                jnp.asarray(packed), jnp.int32(self.frames_written),
-                self.running_ts, self.last_filled, self.li_d, self.li_dt,
-                self.win_d, self.win_dt, self.win_filled,
-            )
             # one d2h round trip for both control outputs
-            counts_h, ovf = jax.device_get((counts, overflow))
+            with tracing.stage("device_framer.sync_fetch"):
+                counts_h, ovf = jax.device_get((counts, overflow))
             if bool(ovf):
                 raise OverflowError(
                     "device framer window overflow (increase `window`; the "
@@ -441,20 +446,33 @@ class DeviceFramer:
         rows_j = jnp.asarray(rows_pad)
         import jax
 
-        dd, dtt = jax.device_get(  # ONE d2h round trip
-            (
-                jnp.take(self.win_d, rows_j, axis=0, mode="clip"),
-                jnp.take(self.win_dt, rows_j, axis=0, mode="clip"),
+        from ..utils import tracing
+
+        with tracing.stage("device_framer.pop_d2h"):
+            # d values fit u8 (0..255 incl. the 255 init) — casting on
+            # device before the fetch cuts the d2h payload 8 -> 5 bytes/px
+            dd, dtt = jax.device_get(  # ONE d2h round trip
+                (
+                    jnp.take(self.win_d, rows_j, axis=0, mode="clip").astype(
+                        jnp.uint8
+                    ),
+                    jnp.take(self.win_dt, rows_j, axis=0, mode="clip"),
+                )
             )
-        )
-        self.win_d = self.win_d.at[rows_j].set(0, mode="drop")
-        self.win_dt = self.win_dt.at[rows_j].set(0, mode="drop")
-        self.win_filled = self.win_filled.at[rows_j].set(False, mode="drop")
-        self._counts[rows] = 0
-        out = []
-        for i in range(k):
-            vals = self._values_for(dd[i], dtt[i])
-            out.append(vals.reshape(self.plane.shape).astype(self.out_dtype))
+        with tracing.stage("device_framer.recycle"):
+            self.win_d = self.win_d.at[rows_j].set(0, mode="drop")
+            self.win_dt = self.win_dt.at[rows_j].set(0, mode="drop")
+            self.win_filled = self.win_filled.at[rows_j].set(
+                False, mode="drop"
+            )
+            self._counts[rows] = 0
+        with tracing.stage("device_framer.convert"):
+            out = []
+            for i in range(k):
+                vals = self._values_for(dd[i], dtt[i])
+                out.append(
+                    vals.reshape(self.plane.shape).astype(self.out_dtype)
+                )
         self.frames_written += k
         return out
 

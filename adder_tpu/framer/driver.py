@@ -185,6 +185,15 @@ class FrameSequence:
         if len(events) == 0:
             return self.is_frame_0_filled()
 
+        # native fast path: counting sort + serial chain replay in C++
+        # (ops/native/framer_fill.cpp) — same recurrence, ~100x the numpy
+        # segmented scans on 1-core hosts. Falls back below for feature
+        # detection or when the toolchain is unavailable.
+        from .native_ingest import ingest_native
+
+        if ingest_native(self, events):
+            return self.is_frame_0_filled()
+
         pix = self._pix_index(events)
         order = np.argsort(pix, kind="stable")
         pix = pix[order]

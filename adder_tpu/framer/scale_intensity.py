@@ -91,6 +91,14 @@ def get_frame_values(
         )
     else:
         raise ValueError(view_mode)
+    if np.dtype(out_dtype).type is np.uint64:
+        # float64 cannot represent 2^64-1; a plain astype wraps to 0 at the
+        # clip boundary. The reference's `as u64` saturates
+        # (scale_intensity.rs u64 impl), so saturate explicitly.
+        hi = val >= 18446744073709549568.0  # largest f64 < 2^64
+        res = np.where(hi, 0.0, np.clip(val, 0, None)).astype(np.uint64)
+        res[np.asarray(hi)] = np.uint64(2**64 - 1)
+        return res
     return np.clip(val, 0, out_max).astype(out_dtype)
 
 

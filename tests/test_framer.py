@@ -145,3 +145,121 @@ def test_framer_feature_intervals(samples_dir):
     assert total > 0
     fi = fs.pop_features()
     assert fi.end_ts > 0
+
+
+# --- native-vs-numpy ingest parity ------------------------------------------
+
+
+def _random_stream(rng, plane, n, t_mode):
+    """Random event batches honoring the per-pixel ordering invariant
+    (driver.rs:1068-1074): DeltaT ts are per-event deltas (any order works);
+    AbsoluteT streams are sorted by t."""
+    x = rng.integers(0, plane.width, n).astype(np.uint16)
+    y = rng.integers(0, plane.height, n).astype(np.uint16)
+    if plane.channels == 1:
+        c = np.full(n, 255, np.uint8)
+    else:
+        c = rng.integers(0, plane.channels, n).astype(np.uint8)
+    d = rng.integers(0, 130, n).astype(np.uint8)
+    d[rng.random(n) < 0.05] = 255  # D_EMPTY
+    if t_mode == TimeMode.AbsoluteT:
+        t = np.sort(rng.integers(1, 60_000, n).astype(np.uint32))
+    else:
+        t = rng.integers(0, 3_000, n).astype(np.uint32)
+    return EventArray(x, y, c, d, t)
+
+
+def _run_stream(fs, batches, force_numpy, monkeypatch_ctx):
+    if force_numpy:
+        import adder_tpu.framer.driver as drv
+
+        monkeypatch_ctx.setattr(
+            "adder_tpu.framer.native_ingest.ingest_native",
+            lambda *_a, **_k: False,
+        )
+    frames = []
+    for b in batches:
+        fs.ingest_event_array(b)
+        while fs.is_frame_0_filled():
+            frames.append(fs.pop_next_frame())
+    fs.flush_frame_buffer()
+    if fs.is_frame_0_filled():
+        frames.append(fs.pop_next_frame())
+    return frames
+
+
+@pytest.mark.parametrize("view_mode", list(FramedViewMode))
+@pytest.mark.parametrize(
+    "t_mode", [TimeMode.DeltaT, TimeMode.AbsoluteT], ids=["deltaT", "absT"]
+)
+def test_native_ingest_parity_views(monkeypatch, view_mode, t_mode):
+    """Native C++ ingest (ops/native/framer_fill.cpp) must be bit-exact vs
+    the numpy segmented-scan path across view modes, time modes, and
+    multi-batch carries."""
+    from adder_tpu.framer import native_ingest
+
+    if native_ingest._get_lib() is None:
+        pytest.skip("native framer unavailable")
+    rng = np.random.default_rng(1234 + int(view_mode) * 7 + int(t_mode))
+    plane = PlaneSize(17, 11, 3)
+    batches = [_random_stream(rng, plane, n, t_mode) for n in (800, 1, 500)]
+
+    def build():
+        b = FramerBuilder(plane)
+        b.view_mode = view_mode
+        return (
+            b.time_parameters(24_000, 1000, 4000, 24.0)
+            .codec_meta(2, t_mode)
+            .source_info(SourceType.U8, SourceCamera.FramedU8)
+            .finish()
+        )
+
+    fs_n = build()
+    frames_n = _run_stream(fs_n, batches, False, monkeypatch)
+    fs_p = build()
+    frames_p = _run_stream(fs_p, batches, True, monkeypatch)
+
+    assert len(frames_n) == len(frames_p)
+    for (va, fa), (vb, fb) in zip(frames_n, frames_p):
+        assert np.array_equal(fa, fb)
+        assert np.array_equal(va, vb)
+    assert np.array_equal(fs_n.running_ts, fs_p.running_ts)
+    assert np.array_equal(fs_n.last_filled, fs_p.last_filled)
+    assert np.array_equal(fs_n.last_intensity, fs_p.last_intensity)
+    assert sorted(fs_n.frames.keys()) == sorted(fs_p.frames.keys())
+
+
+@pytest.mark.parametrize("dtype", [np.uint16, np.uint64])
+def test_native_ingest_parity_dtypes_coordless(monkeypatch, dtype):
+    """Wider outputs and EventCoordless packing through the native path."""
+    from adder_tpu.framer import native_ingest
+
+    if native_ingest._get_lib() is None:
+        pytest.skip("native framer unavailable")
+    rng = np.random.default_rng(77)
+    plane = PlaneSize(9, 7, 1)
+    batches = [_random_stream(rng, plane, 600, TimeMode.DeltaT)]
+
+    for coordless in (False, True):
+
+        def build():
+            b = FramerBuilder(plane)
+            b.out_dtype = dtype
+            b.coordless = coordless
+            return (
+                b.time_parameters(24_000, 1000, 4000, 24.0)
+                .codec_meta(1, TimeMode.DeltaT)
+                .source_info(SourceType.U8, SourceCamera.FramedU8)
+                .finish()
+            )
+
+        fs_n = build()
+        frames_n = _run_stream(fs_n, batches, False, monkeypatch)
+        monkeypatch.undo()
+        fs_p = build()
+        frames_p = _run_stream(fs_p, batches, True, monkeypatch)
+        monkeypatch.undo()
+        assert len(frames_n) == len(frames_p)
+        for (va, fa), (vb, fb) in zip(frames_n, frames_p):
+            assert np.array_equal(va, vb) and np.array_equal(fa, fb)
+        assert np.array_equal(fs_n.last_intensity, fs_p.last_intensity)
