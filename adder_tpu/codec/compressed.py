@@ -56,7 +56,7 @@ def _build_library() -> pathlib.Path:
     if not so.exists() or so.stat().st_mtime < src.stat().st_mtime:
         tmp = so.with_suffix(".so.tmp")
         subprocess.run(
-            ["g++", "-O2", "-shared", "-fPIC", "-std=c++17", "-o", str(tmp), str(src)],
+            ["g++", "-O3", "-shared", "-fPIC", "-std=c++17", "-o", str(tmp), str(src)],
             check=True,
             capture_output=True,
         )
@@ -254,7 +254,18 @@ class CompressedOutput:
         self.num_intervals = max(meta.adu_interval, 1)
         self._pending: list = []  # event chunks for current ADU
         self._futures: list = []
-        self._pool = ThreadPoolExecutor(max_workers=2)
+        # The ADU worker pool (ref P3, stream.rs:264-319) only pays for
+        # itself when a second core can run the GIL-released C call; on a
+        # 1-core host the thread handoff costs ~30% of the encode, so
+        # compress inline there (ADDER_TPU_ADU_WORKERS overrides).
+        env = os.environ.get("ADDER_TPU_ADU_WORKERS")
+        if env is not None:
+            workers = int(env)
+        else:
+            workers = 2 if (os.cpu_count() or 1) > 1 else 0
+        self._pool = (
+            ThreadPoolExecutor(max_workers=workers) if workers > 0 else None
+        )
 
     # -- WriteBackend interface --
 
@@ -280,7 +291,12 @@ class CompressedOutput:
             self.start_t, self.dt_ref, self.num_intervals,
             self._c_thresh_max(), self.entropy == "rans",
         )
-        self._futures.append(self._pool.submit(compress_adu, *args))
+        if self._pool is None:
+            blob = compress_adu(*args)
+            self.writer.write(len(blob).to_bytes(4, "big"))
+            self.writer.write(blob)
+        else:
+            self._futures.append(self._pool.submit(compress_adu, *args))
 
     def _drain_futures(self, wait: bool) -> None:
         while self._futures and (wait or self._futures[0].done()):
@@ -316,7 +332,8 @@ class CompressedOutput:
     def close(self) -> Optional[BinaryIO]:
         self._flush_adu()
         self._drain_futures(wait=True)
-        self._pool.shutdown()
+        if self._pool is not None:
+            self._pool.shutdown()
         self.writer.flush()
         w, self.writer = self.writer, None
         return w

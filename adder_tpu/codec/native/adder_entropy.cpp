@@ -19,9 +19,12 @@
 // symbol dependency); the TPU pipeline hands each ADU's events to this
 // library off the device and streams length-prefixed blobs.
 //
-// Build: g++ -O2 -shared -fPIC -o libadder_entropy.so adder_entropy.cpp
+// Build: g++ -O3 -shared -fPIC -o libadder_entropy.so adder_entropy.cpp
 
+#include <atomic>
+#include <chrono>
 #include <cstdint>
+#include <memory>
 #include <cstring>
 #include <cstdlib>
 #include <cmath>
@@ -232,6 +235,7 @@ struct RangeEncoder {
 };
 
 struct RangeDecoder {
+    static constexpr bool ADDRN_WIRE = false;  // reference wire layout
     uint64_t low = 0, high = 1ull << PRECISION, x = 0;
     bool uninit = true;
     BitReader* in;
@@ -380,26 +384,6 @@ static uint32_t generate_t_prediction(size_t idx, int16_t d_residual,
     return std::max(prev.t, p);
 }
 
-struct Adu {
-    int blocks_y, blocks_x, channels;
-    uint32_t start_t, dt_ref;
-    size_t num_intervals;
-    std::vector<Cube> cubes;  // row-major
-
-    Cube& cube(int by, int bx) { return cubes[by * blocks_x + bx]; }
-};
-
-// encode helpers: byte-wise symbol streams in a given context.
-// Enc/Dec are either the range coder (compat `addec` path) or the rANS
-// symbol collector/replayer (own `addrn` path) — the residual transforms
-// are shared verbatim between the two entropy stages.
-template <class Enc>
-static void encode_bytes(Enc& enc, Model& m, size_t ctx,
-                         const uint8_t* bytes, size_t n) {
-    m.current = ctx;
-    for (size_t i = 0; i < n; i++) enc.encode(m, bytes[i]);
-}
-
 template <class Dec>
 static void decode_bytes(Dec& dec, Model& m, size_t ctx,
                          uint8_t* bytes, size_t n) {
@@ -407,130 +391,307 @@ static void decode_bytes(Dec& dec, Model& m, size_t ctx,
     for (size_t i = 0; i < n; i++) bytes[i] = (uint8_t)dec.decode(m);
 }
 
-// ref: event_cube.rs:309-417
-template <class Enc>
-static void compress_intra(Cube& cube, Enc& enc, Model& m,
-                           const Contexts& ctxs, uint32_t start_t,
-                           int channels) {
-    m.current = ctxs.d_context;
-    if (cube.skip) {
-        enc.encode(m, (size_t)(DRESIDUAL_SKIP_CUBE + D_RESIDUAL_OFFSET));
-        return;
+// Decode one t residual after its bitshift amount. Two wire layouts (see
+// FlatSink/RangeSink): reference-compatible addec (2-byte BE small, 8-byte
+// BE FULL) and addrn v3 (1-byte small; FULL = coded top byte + 4 raw LE
+// low bytes from the side channel).
+template <class Dec>
+static int64_t read_t_residual(Dec& dec, Model& m, const Contexts& ctxs,
+                               uint8_t amt) {
+    if (amt == BITSHIFT_ENCODE_FULL) {
+        if constexpr (Dec::ADDRN_WIRE) {
+            uint8_t b[4];
+            decode_bytes(dec, m, ctxs.t_context, b, 4);
+            uint64_t v = 0;
+            for (int i = 0; i < 4; i++) v = (v << 8) | b[i];
+            v = (v << 8) | dec.raw1();
+            if (v >> 39) v |= ~0ull << 40;  // sign-extend i40
+            return (int64_t)v;
+        } else {
+            uint8_t b[8];
+            decode_bytes(dec, m, ctxs.t_context, b, 8);
+            uint64_t v = 0;
+            for (int i = 0; i < 8; i++) v = (v << 8) | b[i];
+            return (int64_t)v;
+        }
     }
-    bool have_init = false;
-    Ev init{0, 0};
-    for (int c = 0; c < channels; c++)
-        for (int y = 0; y < BLOCK_SIZE; y++)
-            for (int x = 0; x < BLOCK_SIZE; x++) {
-                auto& pixel = cube.px[c][y][x];
-                m.current = ctxs.d_context;
-                if (!pixel.empty()) {
-                    Ev& event = pixel.front();
-                    if (have_init) {
-                        int16_t d_residual =
-                            (int16_t)event.d - (int16_t)init.d;
-                        enc.encode(m, (size_t)(d_residual + D_RESIDUAL_OFFSET));
-                    } else {
-                        enc.encode(m,
-                                   (size_t)((int16_t)event.d + D_RESIDUAL_OFFSET));
-                        init = Ev{event.d, start_t};
-                        have_init = true;
-                    }
-                    int64_t t_residual_i64 = (int64_t)event.t - (int64_t)init.t;
-                    uint8_t amt;
-                    int64_t t_residual;
-                    residual_to_bitshift(t_residual_i64, ctxs.t_residual_max,
-                                         &amt, &t_residual);
-                    uint8_t amt_b = amt;
-                    encode_bytes(enc, m, ctxs.bitshift_context, &amt_b, 1);
-                    if (amt == BITSHIFT_ENCODE_FULL) {
-                        uint8_t b[8];
-                        for (int i = 0; i < 8; i++)
-                            b[i] = (uint8_t)(((uint64_t)t_residual) >>
-                                             (56 - 8 * i));
-                        encode_bytes(enc, m, ctxs.t_context, b, 8);
-                        event.t = (uint32_t)((int64_t)init.t + t_residual);
-                    } else {
-                        int16_t tr = (int16_t)t_residual;
-                        uint8_t b[2] = {(uint8_t)(((uint16_t)tr) >> 8),
-                                        (uint8_t)(((uint16_t)tr) & 0xFF)};
-                        encode_bytes(enc, m, ctxs.t_context, b, 2);
-                        event.t = (uint32_t)((int64_t)init.t +
-                                             ((int64_t)tr << amt));
-                    }
-                    init = event;
+    if constexpr (Dec::ADDRN_WIRE) {
+        uint8_t b;
+        decode_bytes(dec, m, ctxs.t_context, &b, 1);
+        return ((int64_t)(int8_t)b) << amt;
+    } else {
+        uint8_t b[2];
+        decode_bytes(dec, m, ctxs.t_context, b, 2);
+        const int16_t tr = (int16_t)(((uint16_t)b[0] << 8) | b[1]);
+        return ((int64_t)tr) << amt;
+    }
+}
+
+// ------------------------------------------------------- CSR encode side ---
+// Encode-side ADU layout: one counting sort by (cube, channel, raster
+// position) replaces the per-pixel vector-of-vectors (184K heap vectors per
+// 320x180 ADU). Events land in one contiguous (d, t) pair of arrays with a
+// CSR offsets table in exactly the transform's walk order, so the residual
+// transforms below are two linear passes. This is the explicit two-stage
+// split of SURVEY §7 step 7: stage 1 (transform) turns events into three
+// flat symbol streams, stage 2 (entropy tail) codes the streams.
+struct CsrAdu {
+    size_t n_cubes, channels, n_pix;     // n_pix = n_cubes*channels*256
+    std::vector<uint32_t> off;           // n_pix + 1
+    std::vector<uint8_t> d;              // accepted events, pixel-major
+    std::vector<uint32_t> t;
+    std::vector<uint8_t> cube_nonempty;  // per cube
+};
+
+// ref ingest semantics: event_adu.rs:179-193, event_cube.rs:121-155 — an
+// event is dropped iff the pixel already holds >1 events and t does not
+// advance past the last accepted one.
+static void build_csr(CsrAdu& a, const uint16_t* xs, const uint16_t* ys,
+                      const uint8_t* cs, const uint8_t* ds, const uint32_t* ts,
+                      size_t n_events, uint16_t width, uint16_t height,
+                      uint8_t channels) {
+    const size_t blocks_y = (height + BLOCK_SIZE - 1) / BLOCK_SIZE;
+    const size_t blocks_x = (width + BLOCK_SIZE - 1) / BLOCK_SIZE;
+    a.n_cubes = blocks_y * blocks_x;
+    a.channels = channels;
+    a.n_pix = a.n_cubes * channels * (BLOCK_SIZE * BLOCK_SIZE);
+    a.cube_nonempty.assign(a.n_cubes, 0);
+
+    std::vector<uint32_t> cnt(a.n_pix, 0);
+    // last_t / key need no init: last_t is only read once cnt[k] > 1 (so
+    // written at least twice), key is written for every event
+    std::unique_ptr<uint32_t[]> last_t(new uint32_t[a.n_pix]);
+    std::unique_ptr<uint32_t[]> key(new uint32_t[n_events]);
+    size_t accepted = 0;
+    for (size_t i = 0; i < n_events; i++) {
+        const size_t cube = (ys[i] / BLOCK_SIZE) * blocks_x + xs[i] / BLOCK_SIZE;
+        const size_t cc = cs[i] == 255 ? 0 : cs[i];
+        const size_t k = (cube * channels + cc) * (BLOCK_SIZE * BLOCK_SIZE) +
+                         (ys[i] % BLOCK_SIZE) * BLOCK_SIZE + xs[i] % BLOCK_SIZE;
+        if (cnt[k] > 1 && ts[i] <= last_t[k]) {
+            key[i] = UINT32_MAX;
+            continue;
+        }
+        key[i] = (uint32_t)k;
+        cnt[k]++;
+        last_t[k] = ts[i];
+        a.cube_nonempty[cube] = 1;
+        accepted++;
+    }
+    a.off.resize(a.n_pix + 1);
+    uint32_t acc = 0;
+    for (size_t p = 0; p < a.n_pix; p++) {
+        a.off[p] = acc;
+        acc += cnt[p];
+        cnt[p] = a.off[p];  // reuse as running fill cursor
+    }
+    a.off[a.n_pix] = acc;
+    a.d.resize(accepted);
+    a.t.resize(accepted);
+    for (size_t i = 0; i < n_events; i++) {
+        if (key[i] == UINT32_MAX) continue;
+        uint32_t& w = cnt[key[i]];
+        a.d[w] = ds[i];
+        a.t[w] = ts[i];
+        w++;
+    }
+}
+
+// Transform sinks: FlatSink materializes the three context streams (for the
+// static-table rANS tail); RangeSink feeds the adaptive range coder directly
+// (reference-compatible `addec`, where the model adapts per symbol so the
+// streams cannot be materialized ahead of the coder).
+struct FlatSink {
+    // addrn carries the FULL t escape as 5 bytes: the residual is
+    // (i64)t - (i64)prediction with both in u32, an i33 value — 8 bytes
+    // (the addec wire layout, event_cube.rs:361-366) wastes 3. The escape
+    // fires on ~half of real events (t_residual_max is only 127), so this
+    // is ~30% of the whole t stream.
+    // addrn t-residual wire (version 3):
+    //  - small (amt != FULL): 1 byte — non-FULL residuals satisfy
+    //    |res| < t_residual_max = 127, so the addec 2-byte layout
+    //    (event_cube.rs:361-366) carries a constant sign byte
+    //  - FULL escape: the residual is (i64)t - (i64)prediction with both in
+    //    u32, an i33 value, carried as 5 bytes. The top 4 (sign + high
+    //    magnitude) are peaky — Laplacian-ish residuals leave them mostly
+    //    0x00/0xFF — and go through the entropy-coded t stream; the lowest
+    //    byte is near-uniform (measured ~8 bits on the nyc fixture) and
+    //    goes to a raw side-channel, skipping entropy work for 0 ratio
+    //    cost. The escape fires on ~half of real events (t_residual_max is
+    //    only 127).
+    // raw buffers (no zero-init — every slot up to the n* cursor is written)
+    std::unique_ptr<uint16_t[]> d;  // intra wide symbols AND inter bytes
+    std::unique_ptr<uint8_t[]> t, bs, raw;
+    size_t nd = 0, nt = 0, nbs = 0, nraw = 0;
+    void reserve(size_t n_events, size_t n_pix, size_t n_cubes) {
+        d.reset(new uint16_t[3 * n_pix + 2 * n_events + n_cubes + 16]);
+        t.reset(new uint8_t[4 * (n_events + n_pix) + 16]);
+        bs.reset(new uint8_t[n_events + n_pix + 16]);
+        raw.reset(new uint8_t[n_events + n_pix + 16]);
+    }
+    inline void put_d(uint16_t s) { d[nd++] = s; }
+    inline void put_bs(uint8_t b) { bs[nbs++] = b; }
+    inline void put_t_small(int16_t tr) { t[nt++] = (uint8_t)(int8_t)tr; }
+    inline void put_t_full(int64_t res) {
+        const uint64_t v = (uint64_t)res;
+        t[nt++] = (uint8_t)(v >> 32);  // sign/top byte
+        t[nt++] = (uint8_t)(v >> 24);
+        t[nt++] = (uint8_t)(v >> 16);
+        t[nt++] = (uint8_t)(v >> 8);
+        raw[nraw++] = (uint8_t)v;  // uniform low byte: raw side channel
+    }
+};
+
+struct RangeSink {
+    RangeEncoder* enc;
+    Model* m;
+    const Contexts* c;
+    inline void put_d(uint16_t s) {
+        m->current = c->d_context;
+        enc->encode(*m, (size_t)s);
+    }
+    inline void put_t(uint8_t b) {
+        m->current = c->t_context;
+        enc->encode(*m, (size_t)b);
+    }
+    inline void put_bs(uint8_t b) {
+        m->current = c->bitshift_context;
+        enc->encode(*m, (size_t)b);
+    }
+    // reference wire layout: 2-byte BE small residual, 8-byte BE FULL
+    // (event_cube.rs:361-366)
+    inline void put_t_small(int16_t tr) {
+        put_t((uint8_t)(((uint16_t)tr) >> 8));
+        put_t((uint8_t)(((uint16_t)tr) & 0xFF));
+    }
+    inline void put_t_full(int64_t res) {
+        for (int i = 0; i < 8; i++)
+            put_t((uint8_t)(((uint64_t)res) >> (56 - 8 * i)));
+    }
+};
+
+// ref: event_cube.rs:309-417 — first event of every pixel, d/t residuals
+// chained across the cube raster; t rewritten to its reconstruction.
+template <class Sink>
+static void csr_intra(CsrAdu& a, Sink& sink, uint32_t start_t,
+                      const Contexts& ctxs) {
+    const size_t px_per_cube = a.channels * (BLOCK_SIZE * BLOCK_SIZE);
+    for (size_t cube = 0; cube < a.n_cubes; cube++) {
+        if (!a.cube_nonempty[cube]) {
+            sink.put_d((uint16_t)(DRESIDUAL_SKIP_CUBE + D_RESIDUAL_OFFSET));
+            continue;
+        }
+        bool have_init = false;
+        Ev init{0, 0};
+        const size_t p0 = cube * px_per_cube;
+        for (size_t p = p0; p < p0 + px_per_cube; p++) {
+            const uint32_t lo = a.off[p];
+            if (lo == a.off[p + 1]) {
+                sink.put_d((uint16_t)(DRESIDUAL_NO_EVENT + D_RESIDUAL_OFFSET));
+                continue;
+            }
+            const uint8_t ed = a.d[lo];
+            uint32_t et = a.t[lo];
+            if (have_init) {
+                sink.put_d((uint16_t)((int16_t)ed - (int16_t)init.d +
+                                      D_RESIDUAL_OFFSET));
+            } else {
+                sink.put_d((uint16_t)((int16_t)ed + D_RESIDUAL_OFFSET));
+                init = Ev{ed, start_t};
+                have_init = true;
+            }
+            const int64_t t_residual_i64 = (int64_t)et - (int64_t)init.t;
+            uint8_t amt;
+            int64_t t_residual;
+            residual_to_bitshift(t_residual_i64, ctxs.t_residual_max, &amt,
+                                 &t_residual);
+            sink.put_bs(amt);
+            if (amt == BITSHIFT_ENCODE_FULL) {
+                sink.put_t_full(t_residual);
+                et = (uint32_t)((int64_t)init.t + t_residual);
+            } else {
+                const int16_t tr = (int16_t)t_residual;
+                sink.put_t_small(tr);
+                et = (uint32_t)((int64_t)init.t + ((int64_t)tr << amt));
+            }
+            a.t[lo] = et;  // reconstruction feedback for the inter pass
+            init = Ev{ed, et};
+        }
+    }
+}
+
+// ref: event_cube.rs:419-517 — events 2.. of every pixel against the lossy
+// t prediction; inter d residuals travel as 2 bytes in the d context.
+template <class Sink>
+static void csr_inter(CsrAdu& a, Sink& sink, uint32_t start_t, uint32_t dt_ref,
+                      size_t num_intervals, double c_thresh_max,
+                      const Contexts& ctxs) {
+    const size_t px_per_cube = a.channels * (BLOCK_SIZE * BLOCK_SIZE);
+    for (size_t cube = 0; cube < a.n_cubes; cube++) {
+        if (!a.cube_nonempty[cube]) continue;
+        const size_t p0 = cube * px_per_cube;
+        for (size_t p = p0; p < p0 + px_per_cube; p++) {
+            const uint32_t lo = a.off[p], hi = a.off[p + 1];
+            if (lo == hi) continue;
+            uint32_t last_delta_t = 0;
+            for (size_t idx = 1;; idx++) {
+                if (lo + idx >= hi) {
+                    sink.put_d((uint16_t)(((uint16_t)DRESIDUAL_NO_EVENT) >> 8));
+                    sink.put_d((uint16_t)(((uint16_t)DRESIDUAL_NO_EVENT) & 0xFF));
+                    break;
+                }
+                const Ev prev{a.d[lo + idx - 1], a.t[lo + idx - 1]};
+                const Ev cur{a.d[lo + idx], a.t[lo + idx]};
+                const int16_t d_residual = (int16_t)cur.d - (int16_t)prev.d;
+                sink.put_d((uint16_t)(((uint16_t)d_residual) >> 8));
+                sink.put_d((uint16_t)(((uint16_t)d_residual) & 0xFF));
+
+                const uint32_t t_prediction =
+                    generate_t_prediction(idx, d_residual, last_delta_t, prev,
+                                          num_intervals, dt_ref, start_t);
+                const int64_t t_residual_i64 =
+                    (int64_t)cur.t - (int64_t)t_prediction;
+                uint8_t amt;
+                int64_t t_residual;
+                residual_to_bitshift2(t_prediction, t_residual_i64, cur, prev,
+                                      dt_ref, c_thresh_max,
+                                      ctxs.t_residual_max, &amt, &t_residual);
+                sink.put_bs(amt);
+                uint32_t et;
+                if (amt == BITSHIFT_ENCODE_FULL) {
+                    sink.put_t_full(t_residual);
+                    et = (uint32_t)((int64_t)t_prediction + t_residual);
                 } else {
-                    enc.encode(m, (size_t)(DRESIDUAL_NO_EVENT + D_RESIDUAL_OFFSET));
+                    const int16_t tr = (int16_t)t_residual;
+                    sink.put_t_small(tr);
+                    et = (uint32_t)((int64_t)t_prediction +
+                                    ((int64_t)tr << amt));
                 }
+                if (et < prev.t) et = prev.t;
+                a.t[lo + idx] = et;  // reconstruction feedback
+                last_delta_t = et - prev.t;
             }
+        }
+    }
 }
 
-// ref: event_cube.rs:419-517
-template <class Enc>
-static void compress_inter(Cube& cube, Enc& enc, Model& m,
-                           const Contexts& ctxs, uint32_t start_t,
-                           uint32_t dt_ref, size_t num_intervals, int channels,
-                           double c_thresh_max) {
-    if (cube.skip) return;
-    for (int c = 0; c < channels; c++)
-        for (int y = 0; y < BLOCK_SIZE; y++)
-            for (int x = 0; x < BLOCK_SIZE; x++) {
-                auto& pixel = cube.px[c][y][x];
-                if (pixel.empty()) continue;
-                size_t idx = 1;
-                uint32_t last_delta_t = 0;
-                for (;;) {
-                    m.current = ctxs.d_context;
-                    if (idx < pixel.size()) {
-                        Ev prev = pixel[idx - 1];
-                        Ev& event = pixel[idx];
-                        int16_t d_residual = (int16_t)event.d - (int16_t)prev.d;
-                        uint8_t db[2] = {(uint8_t)(((uint16_t)d_residual) >> 8),
-                                         (uint8_t)(((uint16_t)d_residual) & 0xFF)};
-                        encode_bytes(enc, m, ctxs.d_context, db, 2);
+// stage-time accounting (ns), read by the bench via adder_entropy_stats for
+// the transform-vs-entropy breakdown; atomic so the ADU worker pool can add.
+static std::atomic<uint64_t> g_ns_ingest{0}, g_ns_transform{0},
+    g_ns_entropy{0}, g_n_calls{0}, g_n_events{0}, g_n_syms{0};
 
-                        uint32_t t_prediction = generate_t_prediction(
-                            idx, d_residual, last_delta_t, prev, num_intervals,
-                            dt_ref, start_t);
-                        int64_t t_residual_i64 =
-                            (int64_t)event.t - (int64_t)t_prediction;
-                        uint8_t amt;
-                        int64_t t_residual;
-                        residual_to_bitshift2(t_prediction, t_residual_i64,
-                                              event, prev, dt_ref,
-                                              c_thresh_max,
-                                              ctxs.t_residual_max, &amt,
-                                              &t_residual);
-                        encode_bytes(enc, m, ctxs.bitshift_context, &amt, 1);
-                        if (amt == BITSHIFT_ENCODE_FULL) {
-                            uint8_t b[8];
-                            for (int i = 0; i < 8; i++)
-                                b[i] = (uint8_t)(((uint64_t)t_residual) >>
-                                                 (56 - 8 * i));
-                            encode_bytes(enc, m, ctxs.t_context, b, 8);
-                            event.t =
-                                (uint32_t)((int64_t)t_prediction + t_residual);
-                        } else {
-                            int16_t tr = (int16_t)t_residual;
-                            uint8_t b[2] = {(uint8_t)(((uint16_t)tr) >> 8),
-                                            (uint8_t)(((uint16_t)tr) & 0xFF)};
-                            encode_bytes(enc, m, ctxs.t_context, b, 2);
-                            event.t = (uint32_t)((int64_t)t_prediction +
-                                                 ((int64_t)tr << amt));
-                        }
-                        if (event.t < prev.t) event.t = prev.t;
-                        last_delta_t = event.t - prev.t;
-                    } else {
-                        uint8_t nb[2] = {
-                            (uint8_t)(((uint16_t)DRESIDUAL_NO_EVENT) >> 8),
-                            (uint8_t)(((uint16_t)DRESIDUAL_NO_EVENT) & 0xFF)};
-                        encode_bytes(enc, m, ctxs.d_context, nb, 2);
-                        break;
-                    }
-                    idx++;
-                }
-            }
-}
+struct StageClock {
+    std::chrono::steady_clock::time_point t0 =
+        std::chrono::steady_clock::now();
+    uint64_t lap() {
+        auto t1 = std::chrono::steady_clock::now();
+        uint64_t ns = (uint64_t)std::chrono::duration_cast<
+                          std::chrono::nanoseconds>(t1 - t0)
+                          .count();
+        t0 = t1;
+        return ns;
+    }
+};
 
 // ref: event_cube.rs:519-598
 template <class Dec>
@@ -565,19 +726,7 @@ static bool decompress_intra(Cube& cube, Dec& dec, Model& m,
                     }
                     uint8_t amt;
                     decode_bytes(dec, m, ctxs.bitshift_context, &amt, 1);
-                    int64_t t_residual;
-                    if (amt == BITSHIFT_ENCODE_FULL) {
-                        uint8_t b[8];
-                        decode_bytes(dec, m, ctxs.t_context, b, 8);
-                        uint64_t v = 0;
-                        for (int i = 0; i < 8; i++) v = (v << 8) | b[i];
-                        t_residual = (int64_t)v;
-                    } else {
-                        uint8_t b[2];
-                        decode_bytes(dec, m, ctxs.t_context, b, 2);
-                        int16_t tr = (int16_t)(((uint16_t)b[0] << 8) | b[1]);
-                        t_residual = ((int64_t)tr) << amt;
-                    }
+                    int64_t t_residual = read_t_residual(dec, m, ctxs, amt);
                     init.d = (uint8_t)((int16_t)init.d + d_residual);
                     init.t = (uint32_t)((int64_t)init.t + t_residual);
                     pixel.push_back(Ev{d, init.t});
@@ -618,19 +767,7 @@ static bool decompress_inter(Cube& cube, Dec& dec, Model& m,
                         dt_ref, start_t);
                     uint8_t amt;
                     decode_bytes(dec, m, ctxs.bitshift_context, &amt, 1);
-                    int64_t t_residual;
-                    if (amt == BITSHIFT_ENCODE_FULL) {
-                        uint8_t b[8];
-                        decode_bytes(dec, m, ctxs.t_context, b, 8);
-                        uint64_t v = 0;
-                        for (int i = 0; i < 8; i++) v = (v << 8) | b[i];
-                        t_residual = (int64_t)v;
-                    } else {
-                        uint8_t b[2];
-                        decode_bytes(dec, m, ctxs.t_context, b, 2);
-                        int16_t tr = (int16_t)(((uint16_t)b[0] << 8) | b[1]);
-                        t_residual = ((int64_t)tr) << amt;
-                    }
+                    int64_t t_residual = read_t_residual(dec, m, ctxs, amt);
                     uint32_t t =
                         (uint32_t)((int64_t)t_prediction + t_residual);
                     if (t < prev.t) t = prev.t;
@@ -654,20 +791,14 @@ constexpr uint32_t RANS_SCALE = 1u << RANS_SCALE_BITS;
 constexpr uint32_t RANS_LOW = 1u << 16;
 constexpr int RANS_LANES = 8;
 
-// Collector/replayer present the RangeEncoder/RangeDecoder interface to the
-// templated cube functions, but just buffer symbols per model context.
-struct SymCollector {
-    std::vector<std::vector<uint16_t>> streams;
-    explicit SymCollector(size_t n_ctx) : streams(n_ctx) {}
-    void encode(Model& m, size_t sym) {
-        if (sym == SIZE_MAX) return;  // EOF is implicit (counts in header)
-        streams[m.current].push_back((uint16_t)sym);
-    }
-};
-
+// The replayer presents the RangeDecoder interface to the templated cube
+// decode functions, replaying the rANS-decoded per-context symbol streams.
 struct SymReplayer {
+    static constexpr bool ADDRN_WIRE = true;  // FlatSink layout (v3)
     std::vector<std::vector<uint16_t>> streams;
     std::vector<size_t> pos;
+    const uint8_t* raw = nullptr;  // FULL-escape low-bytes side channel
+    size_t raw_len = 0, raw_pos = 0;
     bool fail = false;
     explicit SymReplayer(size_t n_ctx) : streams(n_ctx), pos(n_ctx, 0) {}
     size_t decode(Model& m) {
@@ -678,6 +809,13 @@ struct SymReplayer {
             return 0;
         }
         return s[p++];
+    }
+    uint8_t raw1() {
+        if (raw_pos >= raw_len) {
+            fail = true;
+            return 0;
+        }
+        return raw[raw_pos++];
     }
 };
 
@@ -764,27 +902,73 @@ struct ByteCursor {
 // Giesen-style interleaved rANS: encode in reverse symbol order, each lane
 // renormalizing 16-bit words into a shared stream that is reversed at the
 // end; the decoder walks symbols forward, lanes round-robin.
-static void rans_encode_stream(const std::vector<uint16_t>& syms,
-                               const FreqTable& ft,
+//
+// The encoder state update needs x/f and x%f per symbol; f is a per-ADU
+// static frequency, so replace the hardware division with the exact
+// Granlund–Montgomery round-up reciprocal (x < 2^32 here: after renorm
+// x < x_max = 2^20*f <= 2^32, and the update keeps it there). For
+// power-of-two f the plain floor reciprocal 2^(32+l)/f = 2^32 is already
+// exact, so one multiply-shift covers every symbol — no pow2 branch.
+struct EncSym {
+    uint64_t rcp;     // Granlund–Montgomery reciprocal
+    uint64_t x_max;   // renorm threshold: 2^20 * freq
+    uint32_t shift;   // total right shift for the quotient
+    uint32_t freq;
+    uint32_t cum;
+};
+
+static void build_enc_syms(const FreqTable& ft, std::vector<EncSym>& es) {
+    es.resize(ft.n_sym);
+    for (size_t s = 0; s < ft.n_sym; s++) {
+        const uint32_t f = ft.freq[s];
+        EncSym& e = es[s];
+        e.freq = f;
+        e.cum = ft.cum[s];
+        e.x_max = ((uint64_t)(RANS_LOW >> RANS_SCALE_BITS) << 16) * f;
+        if (f == 0) continue;
+        if ((f & (f - 1)) == 0) {
+            const uint32_t l = (uint32_t)__builtin_ctz(f);
+            e.rcp = 1ull << 32;  // exact: x*2^32 >> (32+l) == x >> l
+            e.shift = 32 + l;
+        } else {
+            const uint32_t l = 32 - __builtin_clz(f);  // ceil(log2 f)
+            e.rcp = ((1ull << (32 + l)) / f) + 1;      // round-up reciprocal
+            e.shift = 32 + l;
+        }
+    }
+}
+
+template <class SymT>
+static void rans_encode_stream(const SymT* syms, size_t n,
+                               const std::vector<EncSym>& es,
                                std::vector<uint8_t>& out) {
     uint32_t states[RANS_LANES];
     for (int l = 0; l < RANS_LANES; l++) states[l] = RANS_LOW;
-    std::vector<uint16_t> words;
-    words.reserve(syms.size());
-    for (size_t ii = syms.size(); ii-- > 0;) {
-        int l = (int)(ii % RANS_LANES);
-        uint32_t f = ft.freq[syms[ii]];
-        uint32_t c = ft.cum[syms[ii]];
-        uint32_t x = states[l];
-        uint64_t x_max = ((uint64_t)(RANS_LOW >> RANS_SCALE_BITS) << 16) * f;
-        while (x >= x_max) {
-            words.push_back((uint16_t)x);
-            x >>= 16;
-        }
-        states[l] = ((x / f) << RANS_SCALE_BITS) + (x % f) + c;
+    // Each symbol renormalizes at most once (one >>16 brings x below 2^16
+    // <= x_max). Branchless renorm: store the candidate word unconditionally
+    // at wpos-1 (overwritten next iteration when not taken), advance wpos
+    // only when taken — the mispredicted renorm branch costs more than the
+    // dead store on high-entropy streams. Fill from the tail so the payload
+    // needs no reversal pass (buffer is raw: no zero-init of n words).
+    std::unique_ptr<uint16_t[]> words(new uint16_t[n + 1]);
+    size_t wpos = n + 1;
+    for (size_t ii = n; ii-- > 0;) {
+        const EncSym& e = es[syms[ii]];
+        uint32_t x = states[ii % RANS_LANES];
+        const unsigned ren = x >= e.x_max;
+        words[wpos - 1] = (uint16_t)x;
+        wpos -= ren;
+        x >>= (ren << 4);
+        const uint32_t q =
+            (uint32_t)(((unsigned __int128)x * e.rcp) >> e.shift);
+        states[ii % RANS_LANES] =
+            (q << RANS_SCALE_BITS) + (x - q * e.freq) + e.cum;
     }
     for (int l = 0; l < RANS_LANES; l++) put_u32(out, states[l]);
-    for (size_t i = words.size(); i-- > 0;) put_u16(out, words[i]);
+    const size_t n_words = n + 1 - wpos;
+    const size_t base = out.size();
+    out.resize(base + 2 * n_words);
+    std::memcpy(out.data() + base, words.get() + wpos, 2 * n_words);
 }
 
 static bool rans_decode_stream(ByteCursor& in, size_t n, const FreqTable& ft,
@@ -810,24 +994,6 @@ static bool rans_decode_stream(ByteCursor& in, size_t n, const FreqTable& ft,
     return true;
 }
 
-// ----------------------------------------------------------- ADU ingest ----
-
-static void ingest_adu(Adu& adu, const uint16_t* xs, const uint16_t* ys,
-                       const uint8_t* cs, const uint8_t* ds,
-                       const uint32_t* ts, size_t n_events) {
-    // ref: event_adu.rs:179-193, event_cube.rs:121-155
-    for (size_t i = 0; i < n_events; i++) {
-        int by = ys[i] / BLOCK_SIZE, bx = xs[i] / BLOCK_SIZE;
-        Cube& cube = adu.cube(by, bx);
-        int cc = cs[i] == 255 ? 0 : cs[i];
-        int ly = ys[i] % BLOCK_SIZE, lx = xs[i] % BLOCK_SIZE;
-        auto& pixel = cube.px[cc][ly][lx];
-        if (pixel.size() > 1 && ts[i] <= pixel.back().t) continue;
-        pixel.push_back(Ev{ds[i], ts[i]});
-        cube.skip = false;
-    }
-}
-
 }  // namespace
 
 // ------------------------------------------------------------- C ABI -------
@@ -844,40 +1010,38 @@ int adder_compress_adu(const uint16_t* xs, const uint16_t* ys,
                        uint16_t height, uint8_t channels, uint32_t start_t,
                        uint32_t dt_ref, uint32_t num_intervals,
                        uint8_t c_thresh_max, uint8_t** out, size_t* out_len) {
-    Adu adu;
-    adu.blocks_y = (height + BLOCK_SIZE - 1) / BLOCK_SIZE;
-    adu.blocks_x = (width + BLOCK_SIZE - 1) / BLOCK_SIZE;
-    adu.channels = channels;
-    adu.start_t = start_t;
-    adu.dt_ref = dt_ref;
-    adu.num_intervals = num_intervals;
-    adu.cubes.resize((size_t)adu.blocks_y * adu.blocks_x);
+    StageClock clock;
+    CsrAdu adu;
+    build_csr(adu, xs, ys, cs, ds, ts, n_events, width, height, channels);
+    g_ns_ingest += clock.lap();
 
-    ingest_adu(adu, xs, ys, cs, ds, ts, n_events);
-
-    // compress (ref: event_adu.rs:83-116)
+    // compress (ref: event_adu.rs:83-116); the adaptive range coder IS the
+    // transform sink here — the model updates per symbol, so transform and
+    // entropy time are one stage for the compat `addec` path
     BitWriter bw;
     RangeEncoder enc;
     enc.out = &bw;
     Model m;
     Contexts ctxs(m);
+    RangeSink sink{&enc, &m, &ctxs};
 
     m.current = ctxs.t_context;
     uint8_t stb[4] = {(uint8_t)(start_t >> 24), (uint8_t)(start_t >> 16),
                       (uint8_t)(start_t >> 8), (uint8_t)start_t};
     for (int i = 0; i < 4; i++) enc.encode(m, stb[i]);
 
-    for (auto& cube : adu.cubes)
-        compress_intra(cube, enc, m, ctxs, start_t, channels);
-    for (auto& cube : adu.cubes)
-        compress_inter(cube, enc, m, ctxs, start_t, dt_ref, num_intervals,
-                       channels, (double)c_thresh_max);
+    csr_intra(adu, sink, start_t, ctxs);
+    csr_inter(adu, sink, start_t, dt_ref, num_intervals,
+              (double)c_thresh_max, ctxs);
 
     // EOF flush (ref: cabac_contexts.rs:227-239)
     m.current = ctxs.eof_context;
     enc.encode(m, SIZE_MAX);
     enc.flush();
     bw.byte_align();
+    g_ns_entropy += clock.lap();
+    g_n_calls += 1;
+    g_n_events += n_events;
 
     *out_len = bw.bytes.size();
     *out = (uint8_t*)std::malloc(bw.bytes.size());
@@ -939,6 +1103,27 @@ long adder_decompress_adu(const uint8_t* blob, size_t blob_len, uint16_t width,
 
 void adder_free(uint8_t* p) { std::free(p); }
 
+// Stage-time breakdown across all adder_compress_adu[_rans] calls since the
+// last reset: {ingest_ns, transform_ns, entropy_ns, calls, events, symbols}.
+// For the compat `addec` path transform and entropy are one fused stage
+// (adaptive model), reported under entropy_ns.
+void adder_entropy_stats(uint64_t out[6], int reset) {
+    out[0] = g_ns_ingest.load();
+    out[1] = g_ns_transform.load();
+    out[2] = g_ns_entropy.load();
+    out[3] = g_n_calls.load();
+    out[4] = g_n_events.load();
+    out[5] = g_n_syms.load();
+    if (reset) {
+        g_ns_ingest = 0;
+        g_ns_transform = 0;
+        g_ns_entropy = 0;
+        g_n_calls = 0;
+        g_n_events = 0;
+        g_n_syms = 0;
+    }
+}
+
 // Compress one ADU with the interleaved-rANS entropy stage (`addrn` format;
 // own design, not reference-compatible at the bitstream level — the cube
 // residual transforms and event semantics are identical to the `addec`
@@ -946,7 +1131,7 @@ void adder_free(uint8_t* p) { std::free(p); }
 //
 // Blob layout (all little-endian):
 //   u32 start_t
-//   u8 lanes, u8 scale_bits, u16 reserved
+//   u8 lanes, u8 scale_bits, u16 wire_version (2: 5-byte FULL t escapes)
 //   3 x context stream [d, t, bitshift]:
 //     u32 n_syms
 //     u16 n_nonzero, then n_nonzero x (u16 sym, u16 freq)
@@ -958,46 +1143,64 @@ int adder_compress_adu_rans(const uint16_t* xs, const uint16_t* ys,
                             uint32_t start_t, uint32_t dt_ref,
                             uint32_t num_intervals, uint8_t c_thresh_max,
                             uint8_t** out, size_t* out_len) {
-    Adu adu;
-    adu.blocks_y = (height + BLOCK_SIZE - 1) / BLOCK_SIZE;
-    adu.blocks_x = (width + BLOCK_SIZE - 1) / BLOCK_SIZE;
-    adu.channels = channels;
-    adu.start_t = start_t;
-    adu.dt_ref = dt_ref;
-    adu.num_intervals = num_intervals;
-    adu.cubes.resize((size_t)adu.blocks_y * adu.blocks_x);
-    ingest_adu(adu, xs, ys, cs, ds, ts, n_events);
+    StageClock clock;
+    CsrAdu adu;
+    build_csr(adu, xs, ys, cs, ds, ts, n_events, width, height, channels);
+    g_ns_ingest += clock.lap();
 
-    // pass 1: run the shared residual transforms, collecting symbols
+    // stage 1: residual/prediction transforms -> three flat symbol streams
     Model m;
     Contexts ctxs(m);
-    SymCollector col(m.contexts.size());
-    for (auto& cube : adu.cubes)
-        compress_intra(cube, col, m, ctxs, start_t, channels);
-    for (auto& cube : adu.cubes)
-        compress_inter(cube, col, m, ctxs, start_t, dt_ref, num_intervals,
-                       channels, (double)c_thresh_max);
+    FlatSink col;
+    col.reserve(adu.t.size(), adu.n_pix, adu.n_cubes);
+    csr_intra(adu, col, start_t, ctxs);
+    csr_inter(adu, col, start_t, dt_ref, num_intervals, (double)c_thresh_max,
+              ctxs);
+    g_ns_transform += clock.lap();
 
-    const size_t ctx_ids[3] = {ctxs.d_context, ctxs.t_context,
-                               ctxs.bitshift_context};
+    // stage 2: static-table interleaved rANS over each stream.
+    // Intra wide symbols and inter bytes share the d stream (same context in
+    // the compat path), so the d alphabet is 513+5; t and bitshift are bytes.
     const size_t alphabet[3] = {513 + 5, 256, 16};
 
     std::vector<uint8_t> blob;
+    blob.reserve(64 + adu.t.size() + col.nraw);
     put_u32(blob, start_t);
     blob.push_back((uint8_t)RANS_LANES);
     blob.push_back((uint8_t)RANS_SCALE_BITS);
-    put_u16(blob, 0);
+    put_u16(blob, 3);  // addrn wire v3: 1-byte smalls, raw FULL side channel
 
+    const uint16_t* d_syms = col.d.get();
+    const uint8_t* byte_syms[3] = {nullptr, col.t.get(), col.bs.get()};
+    const size_t stream_n[3] = {col.nd, col.nt, col.nbs};
     for (int k = 0; k < 3; k++) {
-        const auto& syms = col.streams[ctx_ids[k]];
+        const size_t n = stream_n[k];
         std::vector<uint32_t> counts(alphabet[k], 0);
-        for (uint16_t s : syms) {
-            if (s >= alphabet[k]) return -3;
-            counts[s]++;
+        if (k == 0) {
+            for (size_t i = 0; i < n; i++) {
+                if (d_syms[i] >= alphabet[0]) return -3;
+                counts[d_syms[i]]++;
+            }
+        } else {
+            // 4-way split histogram: byte streams are dominated by a few
+            // symbols, and a single counter array serializes on the
+            // store-to-load dependency of the hot counter
+            const uint8_t* s = byte_syms[k];
+            uint32_t h[4][256] = {};
+            size_t i = 0;
+            for (; i + 4 <= n; i += 4) {
+                h[0][s[i]]++;
+                h[1][s[i + 1]]++;
+                h[2][s[i + 2]]++;
+                h[3][s[i + 3]]++;
+            }
+            for (; i < n; i++) h[0][s[i]]++;
+            for (size_t sym = 0; sym < alphabet[k]; sym++)
+                counts[sym] = h[0][sym] + h[1][sym] + h[2][sym] + h[3][sym];
         }
         FreqTable ft;
         if (!ft.build(counts)) return -4;
-        put_u32(blob, (uint32_t)syms.size());
+        put_u32(blob, (uint32_t)n);
         uint16_t nz = 0;
         for (uint32_t f : ft.freq) nz += f ? 1 : 0;
         put_u16(blob, nz);
@@ -1007,10 +1210,24 @@ int adder_compress_adu_rans(const uint16_t* xs, const uint16_t* ys,
                 put_u16(blob, (uint16_t)ft.freq[s]);
             }
         std::vector<uint8_t> payload;
-        if (!syms.empty()) rans_encode_stream(syms, ft, payload);
+        if (n) {
+            std::vector<EncSym> es;
+            build_enc_syms(ft, es);
+            if (k == 0)
+                rans_encode_stream(d_syms, n, es, payload);
+            else
+                rans_encode_stream(byte_syms[k], n, es, payload);
+        }
         put_u32(blob, (uint32_t)payload.size());
         blob.insert(blob.end(), payload.begin(), payload.end());
+        g_n_syms += n;
     }
+    // FULL-escape low-bytes side channel (near-uniform; stored raw)
+    put_u32(blob, (uint32_t)col.nraw);
+    blob.insert(blob.end(), col.raw.get(), col.raw.get() + col.nraw);
+    g_ns_entropy += clock.lap();
+    g_n_calls += 1;
+    g_n_events += n_events;
 
     *out_len = blob.size();
     *out = (uint8_t*)std::malloc(blob.size());
@@ -1041,8 +1258,9 @@ long adder_decompress_adu_rans(const uint8_t* blob, size_t blob_len,
     cur.pos += 1;
     uint8_t scale_bits = cur.pos < cur.len ? blob[cur.pos] : 0;
     cur.pos += 1;
-    (void)cur.u16();
-    if (cur.fail || lanes != RANS_LANES || scale_bits != RANS_SCALE_BITS)
+    uint16_t wire_version = cur.u16();
+    if (cur.fail || lanes != RANS_LANES || scale_bits != RANS_SCALE_BITS ||
+        wire_version != 3)
         return -2;
 
     for (int k = 0; k < 3; k++) {
@@ -1071,6 +1289,12 @@ long adder_decompress_adu_rans(const uint8_t* blob, size_t blob_len,
             return -2;
         cur.pos += payload_len;
     }
+    // raw FULL-escape side channel (v3)
+    uint32_t raw_len = cur.u32();
+    if (cur.fail || cur.pos + raw_len > cur.len) return -2;
+    rep.raw = blob + cur.pos;
+    rep.raw_len = raw_len;
+    cur.pos += raw_len;
 
     for (auto& cube : cubes)
         decompress_intra(cube, rep, m, ctxs, start_t, channels);

@@ -288,6 +288,8 @@ class EventArray:
         arrays = [a for a in arrays if len(a)]
         if not arrays:
             return cls.empty()
+        if len(arrays) == 1:
+            return arrays[0]
         return cls(
             np.concatenate([a.x for a in arrays]),
             np.concatenate([a.y for a in arrays]),

@@ -37,7 +37,7 @@ def _build(src_name: str) -> pathlib.Path:
     if not so.exists() or so.stat().st_mtime < src.stat().st_mtime:
         tmp = so.with_suffix(".so.tmp")
         subprocess.run(
-            ["g++", "-O2", "-shared", "-fPIC", "-std=c++17", "-o", str(tmp), str(src)],
+            ["g++", "-O3", "-shared", "-fPIC", "-std=c++17", "-o", str(tmp), str(src)],
             check=True,
             capture_output=True,
         )

@@ -544,11 +544,23 @@ def _framer_loop():
     df = DeviceFramer(db)
     df.ingest_event_array(events)
     df.drain()
+    # decomposed stage trace on the timed pass: pack/dispatch are host+h2d,
+    # sync_fetch and pop_d2h are the link RTTs, convert is host math —
+    # the record that separates harness tax from compute (r04 verdict #1)
+    from adder_tpu.utils import tracing
+
+    was = tracing.enabled()
+    tracing.set_enabled(True)
+    tracing.reset()
     df = DeviceFramer(db)
     t0 = time.perf_counter()
     df.ingest_event_array(events)
     dev_frames = len(df.drain())
     dev_dt = time.perf_counter() - t0
+    print("# device framer stage trace (timed pass):")
+    for line in tracing.summary_table().splitlines():
+        print(f"#   {line}")
+    tracing.set_enabled(was)
     return (
         len(events) / digest_dt / 1e6,
         len(events) / frame_dt / 1e6,
@@ -580,13 +592,66 @@ def _nyc_absolute_t(events):
     return ev[np.argsort(ev.t, kind="stable")]
 
 
+def _expected_survivors(ev, ref_interval: int, adu_interval: int):
+    """EXACT survivor mask of the compressed stream path, vectorized.
+
+    Replays the ADU rotation (one rotation per triggering event —
+    compressed.py ingest_event_array) and the cube ingest drop rule
+    (event_cube.rs:127-141: drop when the pixel already kept >1 events and
+    t does not advance). The first two stream events of a (pixel, ADU)
+    group are always kept, and a dropped event never raises the group's
+    running max, so for rank >= 2: keep iff t > cummax(previous t)."""
+    n = len(ev)
+    t = ev.t.astype(np.int64)
+    span = ref_interval * max(adu_interval, 1)
+    adu = np.empty(n, np.int64)
+    start_t, i, k = 0, 0, 0
+    while i < n:
+        cut = i + int(np.searchsorted(t[i:], start_t + span, side="right"))
+        adu[i:cut] = k
+        if cut >= n:
+            break
+        adu[cut] = k + 1  # the trigger lands in the NEW adu
+        start_t += span
+        i, k = cut + 1, k + 1
+    pix = (
+        ev.y.astype(np.int64) * 65536 + ev.x.astype(np.int64)
+    ) * 4 + np.where(ev.c == 255, 0, ev.c).astype(np.int64)
+    group = adu * (1 << 34) + pix
+    order = np.argsort(group, kind="stable")
+    g = group[order]
+    ts = t[order]
+    new_seg = np.empty(n, bool)
+    new_seg[:1] = True
+    new_seg[1:] = g[1:] != g[:-1]
+    seg_id = np.cumsum(new_seg) - 1
+    first = np.flatnonzero(new_seg)
+    rank = np.arange(n) - first[seg_id]
+    # segmented cummax: a per-segment ramp keeps maxima from crossing
+    # segment boundaries (t values are < 2^40 here)
+    ramp = seg_id.astype(np.int64) * (1 << 40)
+    cm = np.maximum.accumulate(ts + ramp) - ramp
+    prev_cm = np.empty(n, np.int64)
+    prev_cm[0] = -(1 << 62)
+    prev_cm[1:] = cm[:-1]
+    prev_cm[new_seg] = -(1 << 62)
+    keep_sorted = (rank < 2) | (ts > prev_cm)
+    keep = np.empty(n, bool)
+    keep[order] = keep_sorted
+    return keep
+
+
 def _compression_loop():
     """Source-modeled entropy coding throughput (BASELINE config
     'compressed .adder'; ref: compressed/stream.rs): encode + decode Mev/s
     and size ratio vs raw, for the reference-compatible addec (CABAC) and
-    the TPU-plan addrn (interleaved rANS) codecs, on the nyc fixture."""
+    the TPU-plan addrn (interleaved rANS) codecs, on the nyc fixture.
+    Asserts the EXACT survivor multiset (no blanket tolerance) and prints
+    the native ingest/transform/entropy stage breakdown."""
+    import ctypes
     import io
 
+    from adder_tpu.codec.compressed import _get_lib
     from adder_tpu.codec.decoder import Decoder
     from adder_tpu.codec.encoder import Encoder, EncoderOptions
     from adder_tpu.core.types import TimeMode
@@ -598,8 +663,17 @@ def _compression_loop():
     meta.codec_version = 3
     meta.time_mode = TimeMode.AbsoluteT
     raw_bytes = len(events) * 9
+    keep = _expected_survivors(ev, meta.ref_interval, 10)
+    want = ev[np.flatnonzero(keep)]
+    want_key = np.lexsort((want.d, want.c, want.x, want.y))
+    lib = _get_lib()
+    lib.adder_entropy_stats.argtypes = [
+        ctypes.POINTER(ctypes.c_uint64), ctypes.c_int
+    ]
+    stats = (ctypes.c_uint64 * 6)()
     out = {}
     for entropy in ("cabac", "rans"):
+        lib.adder_entropy_stats(stats, 1)  # reset
         buf = io.BytesIO()
         t0 = time.perf_counter()
         enc = Encoder.new_compressed(
@@ -608,12 +682,27 @@ def _compression_loop():
         enc.ingest_event_array(ev)
         enc.close_writer()
         enc_dt = time.perf_counter() - t0
+        lib.adder_entropy_stats(stats, 0)
+        print(
+            f"# {entropy} native stage breakdown: "
+            f"ingest {stats[0]/1e6:.1f} ms, transform {stats[1]/1e6:.1f} ms, "
+            f"entropy {stats[2]/1e6:.1f} ms over {stats[3]} ADUs "
+            f"({stats[5]} coded symbols; cabac reports transform+entropy "
+            f"fused under entropy: the model adapts per symbol)"
+        )
         data = buf.getvalue()
         buf2 = io.BytesIO(data)
         t0 = time.perf_counter()
         back = Decoder(buf2).digest_all()
         dec_dt = time.perf_counter() - t0
-        assert len(back) >= len(ev) * 0.95
+        # EXACT survivor multiset: decode returns cube-raster order, t is
+        # lossy-quantized; (x, y, c, d) must match the replayed drop rule
+        assert len(back) == len(want), (len(back), len(want))
+        back_key = np.lexsort((back.d, back.c, back.x, back.y))
+        for f in ("x", "y", "c", "d"):
+            assert np.array_equal(
+                getattr(back, f)[back_key], getattr(want, f)[want_key]
+            ), f"survivor field {f} mismatch"
         out[entropy] = (
             len(ev) / enc_dt / 1e6,
             len(back) / dec_dt / 1e6,
