@@ -109,19 +109,28 @@ def make_masked_interval_compact(p: I.TranscodeParams, take: int):
 
 
 @functools.lru_cache(maxsize=32)
-def make_masked_interval_compact_packed(p: I.TranscodeParams, take: int):
+def make_masked_interval_compact_packed(
+    p: I.TranscodeParams, take: int, compact: bool = True
+):
     """make_masked_interval_compact fed by ONE (4, N) i32 carrier
     [bits(intensity), fv, bits(time), mask] instead of four arrays: on a
     high-latency link each device_put is a synchronous RPC, so a masked
     call's four uploads cost ~4 RTTs; the carrier makes it one. f32
     fields travel as i32 bit patterns (host `.view(np.int32)`) and are
-    bitcast back in-graph."""
+    bitcast back in-graph.
+
+    compact=False drops the event compaction (a take-sized top_k over the
+    (K, N) slot keys, ~13 ms at 346x260 on the v5 chip) for void-output
+    callers that only chain state."""
 
     def f(st, packed):
         bf = lambda r: jax.lax.bitcast_convert_type(packed[r], _f32)
         st2, sd, stt, sm, _ = masked_interval(
             st, bf(0), packed[1], bf(2), packed[3] != 0, p
         )
+        if not compact:
+            z = jnp.zeros((0,), jnp.uint32)
+            return st2, z, z, jnp.int32(0)
         pixd, tt, n = I._compact_interval(sd, stt, sm, take)
         return st2, pixd, tt, n
 
@@ -132,24 +141,36 @@ def make_masked_interval_compact_packed(p: I.TranscodeParams, take: int):
 def make_masked_interval_const(
     p: I.TranscodeParams, take: int, n: int, n_real: int,
     intensity: float, fv: int, time: float,
+    reps: int = 1, compact: bool = True,
 ):
     """All-real-pixels masked interval with CONSTANT arguments
     materialized in-graph — zero host->device transfers. This is the
     bootstrap shape (ref: prophesee.rs:150-162 — every pixel integrates
     the mid-gray 128 for one ref tick before the event stream starts).
-    `n` is the padded state length; only pixels < n_real integrate."""
+    `n` is the padded state length; only pixels < n_real integrate.
+
+    reps chains that constant sub-step in ONE jit (the bootstrap runs it
+    twice; separate dispatches paid graph + dispatch overhead per rep).
+    Returns (state, [per-rep (pixd, tt, n_ev)]). compact=False as in
+    make_masked_interval_compact_packed."""
 
     def f(st):
-        st2, sd, stt, sm, _ = masked_interval(
-            st,
-            jnp.full((n,), jnp.float32(intensity)),
-            jnp.full((n,), jnp.int32(fv)),
-            jnp.full((n,), jnp.float32(time)),
-            jnp.arange(n, dtype=_i32) < jnp.int32(n_real),
-            p,
-        )
-        pixd, tt, n_ev = I._compact_interval(sd, stt, sm, take)
-        return st2, pixd, tt, n_ev
+        outs = []
+        for _ in range(reps):
+            st, sd, stt, sm, _ = masked_interval(
+                st,
+                jnp.full((n,), jnp.float32(intensity)),
+                jnp.full((n,), jnp.int32(fv)),
+                jnp.full((n,), jnp.float32(time)),
+                jnp.arange(n, dtype=_i32) < jnp.int32(n_real),
+                p,
+            )
+            if compact:
+                outs.append(I._compact_interval(sd, stt, sm, take))
+            else:
+                z = jnp.zeros((0,), jnp.uint32)
+                outs.append((z, z, jnp.int32(0)))
+        return st, outs
 
     return jax.jit(f)
 
@@ -215,14 +236,17 @@ def plan_dvs_batch_compact(
     last_ln: np.ndarray,  # (N,) float64, updated in place
     theta: float,
     ref: int,
+    val_cache: np.ndarray | None = None,  # (N,) f64 exp(last_ln) memo
 ) -> DvsCompact:
     """Lane planner for Prophesee DVS batches (ref: prophesee.rs:175-249).
     Dispatches to the native O(E) chain walk (ops/native/dvs_plan.cpp —
     same f64 libm math, bit-identical, suite-pinned) and falls back to the
-    numpy reference implementation below. Mutates last_t / last_ln."""
+    numpy reference implementation below. Mutates last_t / last_ln (and
+    val_cache when given — see plan_dvs_native)."""
     from .native_dvs_plan import plan_dvs_native
 
-    out = plan_dvs_native(ts, xs, ys, ps, width, last_t, last_ln, theta, ref)
+    out = plan_dvs_native(ts, xs, ys, ps, width, last_t, last_ln, theta,
+                          ref, val_cache)
     if out is not None:
         return out
     return plan_dvs_batch_compact_np(
@@ -594,15 +618,18 @@ def plan_davis_events_compact(
     dvs_c: float,
     ref: int,
     ticks_per_micro: float,
+    val_cache: np.ndarray | None = None,  # (N,) f64 exp(last_ln) memo
 ) -> DavisCompact:
     """Lane planner for DAVIS DVS events (ref: davis.rs:235-465).
     Dispatches to the native O(E) chain walk (ops/native/dvs_plan.cpp,
     bit-identical, suite-pinned) with the numpy reference implementation
-    below as fallback. Mutates last_t / last_ln."""
+    below as fallback. Mutates last_t / last_ln (and val_cache when
+    given)."""
     from .native_dvs_plan import plan_davis_native
 
     out = plan_davis_native(
-        ts, xs, ys, ons, width, last_t, last_ln, dvs_c, ref, ticks_per_micro
+        ts, xs, ys, ons, width, last_t, last_ln, dvs_c, ref,
+        ticks_per_micro, val_cache,
     )
     if out is not None:
         return out

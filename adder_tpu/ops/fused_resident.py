@@ -1122,17 +1122,24 @@ def build_dvs_planes(T, n, pix, lane, gap_on, gap_fv, gap_int, gap_time,
     nn = jnp.int32(n)
     pix = pix.astype(_i32)
     lane = lane.astype(_i32)
-    # flat (T*N) destination per sub-step; inactive rows -> T*N (OOB,
-    # dropped by scatter mode=drop)
-    oob = jnp.int32(T * n)
+    # flat (T*N) destination per sub-step; inactive rows -> distinct OOB
+    # slots (T*n + row index), dropped by scatter mode=drop. Distinct
+    # sentinels keep ALL indices unique — each (lane, pixel) carries at
+    # most one gap and one tick row by planner construction — which lets
+    # XLA lower the scatter without the duplicate-combining path (measured
+    # 177 -> 12 ms for 800K updates on the v5 chip).
+    E = jnp.int32(pix.shape[0])
+    oob = jnp.int32(T * n) + jnp.arange(pix.shape[0], dtype=_i32)
     gdst = jnp.where(gap_on, (2 * lane) * nn + pix, oob)
-    tdst = jnp.where(tick_on, (2 * lane + 1) * nn + pix, oob)
+    tdst = jnp.where(tick_on, (2 * lane + 1) * nn + pix, oob + E)
     dst = jnp.concatenate([gdst, tdst])
 
     def plane(gv, tv, dtype):
         z = jnp.zeros((T * n,), dtype)
         vals = jnp.concatenate([gv.astype(dtype), tv.astype(dtype)])
-        return z.at[dst].set(vals, mode="drop").reshape(T, n)
+        return z.at[dst].set(
+            vals, mode="drop", unique_indices=True
+        ).reshape(T, n)
 
     if tick_time is None:
         # one source tick per tick sub-step (prophesee.rs:243): constant
@@ -1332,14 +1339,18 @@ def build_davis_planes(T, n, pix, lane, active, first_int, dt_ticks, fval,
     planes [first_integration, dt_ticks, frame_val, fv8 | active << 8] —
     one sub-step per lane (row = lane). Pinned equal to the host
     stack_davis_lanes layout by tests/test_dvs_batch.py."""
-    oob = jnp.int32(T * n)
+    # distinct OOB sentinels keep all indices unique (each (lane, pixel)
+    # appears at most once by planner construction) — see build_dvs_planes
+    oob = jnp.int32(T * n) + jnp.arange(pix.shape[0], dtype=_i32)
     dst = jnp.where(
         active, lane.astype(_i32) * jnp.int32(n) + pix.astype(_i32), oob
     )
 
     def plane(v, dtype):
         z = jnp.zeros((T * n,), dtype)
-        return z.at[dst].set(v.astype(dtype), mode="drop").reshape(T, n)
+        return z.at[dst].set(
+            v.astype(dtype), mode="drop", unique_indices=True
+        ).reshape(T, n)
 
     return (
         plane(first_int, _f32),

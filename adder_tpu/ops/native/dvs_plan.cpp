@@ -35,14 +35,24 @@ extern "C" {
 // capacity n_events (<= one row per event); rows land lane-major
 // (stable within a lane = stream order). Returns the number of emitted
 // rows, or -1 on a bad pixel index.
+// val_cache (f64, n_pixels) memoizes exp(last_ln[i]) between events and
+// between windows — the chain needs exp of the STORED ln at every event
+// head, and that value was already computed when the ln was stored (or is
+// the constant exp(kMidLn) after a clamp). NaN = not cached (lazy fill);
+// the caller owns the array alongside last_ln and must reset it to NaN if
+// it ever mutates last_ln by other means. Halves the libm exp() count —
+// the planner's dominant cost. Bit-exact: the same exp of the same input,
+// just not recomputed.
 long adder_plan_dvs(const int64_t* t, const int32_t* pix, const uint8_t* pol,
                     long n_events, long n_pixels, uint32_t* last_t,
-                    double* last_ln, double theta, double ref_time,
+                    double* last_ln, double* val_cache, double theta,
+                    double ref_time,
                     int32_t* out_pix, int32_t* out_lane, uint8_t* out_gap_on,
                     int32_t* out_gap_fv, float* out_gap_int,
                     float* out_gap_time, uint8_t* out_tick_on,
                     int32_t* out_tick_fv, float* out_tick_int,
                     float* out_tick_time) {
+  const double kMidExp = std::exp(kMidLn);
   std::vector<int32_t> occ(n_pixels, 0);  // per-pixel occurrence counter
   // stream-order staging (scattered to lane-major afterwards)
   std::vector<int32_t> s_pix, s_lane, s_gfv, s_tfv;
@@ -62,7 +72,9 @@ long adder_plan_dvs(const int64_t* t, const int32_t* pix, const uint8_t* pol,
     const bool tick_on = keep && (te > lt);
 
     const double ln = last_ln[i];
-    double last_val = (std::exp(ln) - 1.0) * 255.0;
+    double exp_ln = val_cache[i];
+    if (std::isnan(exp_ln)) exp_ln = std::exp(ln);
+    double last_val = (exp_ln - 1.0) * 255.0;
     double ln_c = ln;
     if (last_val < 0.0 || last_val > 255.0) {  // mid clamp
       last_val = 128.0;
@@ -74,11 +86,14 @@ long adder_plan_dvs(const int64_t* t, const int32_t* pix, const uint8_t* pol,
     const double base_ln = gap_on ? ln_c : ln;
     const double new_ln =
         keep ? base_ln + (pol[e] == 0 ? -theta : theta) : ln;
-    double new_val = (std::exp(new_ln) - 1.0) * 255.0;
+    const double exp_new = std::exp(new_ln);
+    double new_val = (exp_new - 1.0) * 255.0;
     double new_ln_c = new_ln;
+    double exp_after = exp_new;
     if (new_val < 0.0 || new_val > 255.0) {
       new_val = 128.0;
       new_ln_c = kMidLn;
+      if (tick_on) exp_after = kMidExp;  // clamped ln persists on tick
     }
     // the tick branch re-clamps and stores the clamped ln
     // (ref: prophesee.rs:243-247); without a tick the raw step persists
@@ -86,6 +101,7 @@ long adder_plan_dvs(const int64_t* t, const int32_t* pix, const uint8_t* pol,
     if (keep) {
       last_ln[i] = ln_after;
       last_t[i] = static_cast<uint32_t>(te);
+      val_cache[i] = exp_after;
     }
     if (!(gap_on || tick_on)) continue;
     if (lane > max_lane) max_lane = lane;
@@ -127,9 +143,12 @@ long adder_plan_dvs(const int64_t* t, const int32_t* pix, const uint8_t* pol,
 // plan_davis_events_compact_np). The ln step is MULTIPLICATIVE
 // (last_ln *= exp(+-c)) and last_t updates on the skip path too
 // (davis.rs:303). last_t is i64 microseconds here.
+// val_cache memoizes exp(last_ln[i]) exactly as in adder_plan_dvs (NaN =
+// not cached; caller owns it alongside last_ln).
 long adder_plan_davis(const int64_t* t, const int32_t* pix,
                       const uint8_t* on, long n_events, long n_pixels,
-                      int64_t* last_t, double* last_ln, double dvs_c,
+                      int64_t* last_t, double* last_ln, double* val_cache,
+                      double dvs_c,
                       double ref_time, double ticks_per_micro,
                       int32_t* out_pix, int32_t* out_lane,
                       float* out_first_int, float* out_dt_ticks,
@@ -137,6 +156,7 @@ long adder_plan_davis(const int64_t* t, const int32_t* pix,
   const double step_on = std::exp(dvs_c);
   const double step_off = std::exp(-dvs_c);
   const double ln_hi = std::log1p(1.0);  // clamp_u8 high-side ln
+  const double exp_hi = std::exp(ln_hi);
   std::vector<int32_t> occ(n_pixels, 0);
   std::vector<int32_t> s_pix, s_lane, s_fv8;
   std::vector<float> s_fi, s_dt, s_fv;
@@ -151,21 +171,30 @@ long adder_plan_davis(const int64_t* t, const int32_t* pix,
     const bool active = !((dt_us == te) || (dt_us < 0));  // davis.rs:300-305
 
     const double ln = last_ln[i];
-    const double last_val = (std::exp(ln) - 1.0) * 255.0;
+    double exp_ln = val_cache[i];
+    if (std::isnan(exp_ln)) exp_ln = std::exp(ln);
+    const double last_val = (exp_ln - 1.0) * 255.0;
     const double dt_ticks = static_cast<double>(dt_us) * ticks_per_micro;
     double first_int = last_val / ref_time * dt_ticks;
     if (!(first_int > 0.0)) first_int = 0.0;
 
     double ln2 = ln * (on[e] ? step_on : step_off);
-    double fval = (std::exp(ln2) - 1.0) * 255.0;
+    const double exp_ln2 = std::exp(ln2);
+    double fval = (exp_ln2 - 1.0) * 255.0;
+    double exp_after = exp_ln2;
     if (fval <= 0.0) {
       fval = 0.0;
       ln2 = 0.0;
+      exp_after = 1.0;  // exp(0)
     } else if (fval > 255.0) {
       fval = 255.0;
       ln2 = ln_hi;
+      exp_after = exp_hi;
     }
-    if (active) last_ln[i] = ln2;
+    if (active) {
+      last_ln[i] = ln2;
+      val_cache[i] = exp_after;
+    }
     last_t[i] = te;  // set on the skip path too (davis.rs:303)
     if (!active) continue;
     if (lane > max_lane) max_lane = lane;

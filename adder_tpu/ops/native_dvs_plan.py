@@ -41,14 +41,14 @@ def _get_lib():
             lib.adder_plan_dvs.restype = ctypes.c_long
             lib.adder_plan_dvs.argtypes = [
                 _i64p, _i32p, _u8p, ctypes.c_long, ctypes.c_long,
-                _u32p, _f64p, ctypes.c_double, ctypes.c_double,
+                _u32p, _f64p, _f64p, ctypes.c_double, ctypes.c_double,
                 _i32p, _i32p, _u8p, _i32p, _f32p, _f32p,
                 _u8p, _i32p, _f32p, _f32p,
             ]
             lib.adder_plan_davis.restype = ctypes.c_long
             lib.adder_plan_davis.argtypes = [
                 _i64p, _i32p, _u8p, ctypes.c_long, ctypes.c_long,
-                _i64p, _f64p, ctypes.c_double, ctypes.c_double,
+                _i64p, _f64p, _f64p, ctypes.c_double, ctypes.c_double,
                 ctypes.c_double,
                 _i32p, _i32p, _f32p, _f32p, _f32p, _i32p,
             ]
@@ -63,9 +63,13 @@ def _io_view(arr: np.ndarray, dtype) -> np.ndarray:
     return np.ascontiguousarray(arr, dtype=dtype)
 
 
-def plan_dvs_native(ts, xs, ys, ps, width, last_t, last_ln, theta, ref):
+def plan_dvs_native(ts, xs, ys, ps, width, last_t, last_ln, theta, ref,
+                    val_cache=None):
     """Native plan_dvs_batch_compact. Returns a DvsCompact or None when
-    the native library is unavailable."""
+    the native library is unavailable. `val_cache` (f64 (N,), NaN = not
+    cached) memoizes exp(last_ln) between events AND between windows —
+    the caller owns it alongside last_ln; a fresh NaN array is used when
+    not provided (still halves the in-window exp count)."""
     lib = _get_lib()
     if lib is None:
         return None
@@ -80,6 +84,8 @@ def plan_dvs_native(ts, xs, ys, ps, width, last_t, last_ln, theta, ref):
     pol = np.ascontiguousarray(np.asarray(ps) != 0, dtype=np.uint8)
     lt = _io_view(last_t, np.uint32)
     ln = _io_view(last_ln, np.float64)
+    if val_cache is None:
+        val_cache = np.full(len(ln), np.nan, np.float64)
 
     out_pix = np.empty(n_ev, np.int32)
     out_lane = np.empty(n_ev, np.int32)
@@ -96,6 +102,7 @@ def plan_dvs_native(ts, xs, ys, ps, width, last_t, last_ln, theta, ref):
         pol.ctypes.data_as(_u8p), ctypes.c_long(n_ev),
         ctypes.c_long(len(lt)),
         lt.ctypes.data_as(_u32p), ln.ctypes.data_as(_f64p),
+        val_cache.ctypes.data_as(_f64p),
         ctypes.c_double(theta), ctypes.c_double(ref),
         out_pix.ctypes.data_as(_i32p), out_lane.ctypes.data_as(_i32p),
         out_gon.ctypes.data_as(_u8p), out_gfv.ctypes.data_as(_i32p),
@@ -118,10 +125,12 @@ def plan_dvs_native(ts, xs, ys, ps, width, last_t, last_ln, theta, ref):
 
 
 def plan_davis_native(
-    ts, xs, ys, ons, width, last_t, last_ln, dvs_c, ref, ticks_per_micro
+    ts, xs, ys, ons, width, last_t, last_ln, dvs_c, ref, ticks_per_micro,
+    val_cache=None,
 ):
     """Native plan_davis_events_compact. Returns a DavisCompact or None
-    when the native library is unavailable."""
+    when the native library is unavailable. `val_cache` as in
+    plan_dvs_native."""
     lib = _get_lib()
     if lib is None:
         return None
@@ -136,6 +145,8 @@ def plan_davis_native(
     onb = np.ascontiguousarray(np.asarray(ons) != 0, dtype=np.uint8)
     lt = _io_view(last_t, np.int64)
     ln = _io_view(last_ln, np.float64)
+    if val_cache is None:
+        val_cache = np.full(len(ln), np.nan, np.float64)
 
     out_pix = np.empty(n_ev, np.int32)
     out_lane = np.empty(n_ev, np.int32)
@@ -148,6 +159,7 @@ def plan_davis_native(
         onb.ctypes.data_as(_u8p), ctypes.c_long(n_ev),
         ctypes.c_long(len(lt)),
         lt.ctypes.data_as(_i64p), ln.ctypes.data_as(_f64p),
+        val_cache.ctypes.data_as(_f64p),
         ctypes.c_double(dvs_c), ctypes.c_double(ref),
         ctypes.c_double(ticks_per_micro),
         out_pix.ctypes.data_as(_i32p), out_lane.ctypes.data_as(_i32p),

@@ -293,10 +293,17 @@ class Davis:
             ys = np.array([e.y for e in events], np.uint16)
             ons = np.array([e.on for e in events], bool)
         if getattr(self, "_engine", "scan") == "resident":
+            if not hasattr(self, "_dvs_val_cache"):
+                # exp(last_ln) memo, owned next to dvs_last_ln_val (only
+                # the planner mutates the ln state in resident mode)
+                self._dvs_val_cache = np.full(
+                    self.plane.volume(), np.nan, np.float64
+                )
             plan = B.plan_davis_events_compact(
                 ts, xs, ys, ons, self.plane.width, self.plane.volume(),
                 self.dvs_last_timestamps, self.dvs_last_ln_val,
                 self.dvs_c, self.video.ref_time, self.video.tps / 1e6,
+                val_cache=self._dvs_val_cache,
             )
             if len(plan.pix):
                 self._run_davis_lanes_resident(plan, parts)
@@ -419,6 +426,9 @@ class Davis:
             np.full(n, dt_ticks, np.float32), np.ones(n, bool), parts,
         )
         self.dvs_last_ln_val[:] = np.log1p(fv / 255.0)
+        if hasattr(self, "_dvs_val_cache"):
+            # ln state reset outside the planner: drop the exp memo
+            self._dvs_val_cache[:] = np.nan
 
     def consume(self) -> EventArray:
         packet = next(self._iter, None)

@@ -313,13 +313,15 @@ class Prophesee:
         take = self._mask_take = max(take, getattr(self, "_mask_take", 0))
         args = (jnp.asarray(packed),)
         st0 = self._dev_state
+        void = getattr(self, "void_events", False)
         while True:
             fn = B.make_masked_interval_compact_packed(
-                self._tp(), min(take, K * ns)
+                self._tp(), min(take, K * ns), compact=not void
             )
             st, pixd, tt, n_ev = fn(st0, *args)
-            if getattr(self, "void_events", False):
-                # events are discarded; state is what matters — no sync
+            if void:
+                # events are discarded; state is what matters — no sync,
+                # and the compaction top_k never runs (compact=False)
                 self._dev_state = st
                 return
             n_i = int(n_ev)
@@ -348,21 +350,21 @@ class Prophesee:
         return EventArray(x, y, np.full(len(x), NO_CHANNEL, np.uint8), d, t)
 
     def _bootstrap_batched(self) -> EventArray:
-        n = self.plane.volume()
         ref = self.video.ref_time
         parts: list = []
-        for _ in range(2):
-            self._masked_call_const(128.0, 128, float(ref), parts)
+        self._masked_call_const(128.0, 128, float(ref), parts, reps=2)
         self.running_t = 2
         arr = self._events_from_parts(parts)
         self.video.encoder.ingest_event_array(arr)
         return arr
 
     def _masked_call_const(self, intensity: float, fv: int, time: float,
-                           out: list):
+                           out: list, reps: int = 1):
         """_masked_call with constant all-pixel arguments materialized
         in-graph — no host->device transfer at all (the bootstrap shape,
-        ref: prophesee.rs:150-162)."""
+        ref: prophesee.rs:150-162). `reps` chains the sub-step in one jit
+        (the bootstrap needs two; separate dispatches paid graph + RPC
+        overhead per rep)."""
         from ..ops import dvs_batch as B
 
         ns = int(self._dev_state.length.shape[0])
@@ -370,25 +372,33 @@ class Prophesee:
         take = 1 << (ns - 1).bit_length()
         take = self._mask_take = max(take, getattr(self, "_mask_take", 0))
         st0 = self._dev_state
+        void = getattr(self, "void_events", False)
         while True:
             fn = B.make_masked_interval_const(
                 self._tp(), min(take, K * ns), ns, self.plane.volume(),
-                intensity, fv, time,
+                intensity, fv, time, reps=reps, compact=not void,
             )
-            st, pixd, tt, n_ev = fn(st0)
-            if getattr(self, "void_events", False):
+            st, rep_outs = fn(st0)
+            if void:
+                # state-only chain: no sync, no compaction in-graph
                 self._dev_state = st
                 return
-            n_i = int(n_ev)
-            if n_i <= take or take >= K * ns:
+            ns_i = [int(n_ev) for _, _, n_ev in rep_outs]
+            if max(ns_i) <= take or take >= K * ns:
                 break
             take = self._mask_take = take * 2
         self._dev_state = st
-        n_i = min(n_i, K * ns)
         import jax
 
-        pixd_h, tt_h = jax.device_get((pixd[:n_i], tt[:n_i]))
-        out.append(B.wire_to_events(pixd_h, tt_h, self.plane.width))
+        fetch = []
+        for (pixd, tt, _), n_i in zip(rep_outs, ns_i):
+            n_i = min(n_i, K * ns)
+            fetch.extend((pixd[:n_i], tt[:n_i]))
+        flat = jax.device_get(tuple(fetch))  # ONE d2h round trip
+        for k in range(0, len(flat), 2):
+            out.append(
+                B.wire_to_events(flat[k], flat[k + 1], self.plane.width)
+            )
 
     def _consume_batched(self) -> EventArray:
         from ..ops import dvs_batch as B
@@ -414,11 +424,16 @@ class Prophesee:
         n = self.plane.volume()
         parts: list = []
         if getattr(self, "_engine", "scan") == "resident":
+            if not hasattr(self, "_dvs_val_cache"):
+                # exp(last_ln) memo, owned next to dvs_last_ln_val; only
+                # the planner mutates the ln state in resident mode
+                self._dvs_val_cache = np.full(n, np.nan, np.float64)
             with tracing.stage("dvs.plan", items=len(ts)):
                 plan = B.plan_dvs_batch_compact(
                     ts, xs, ys, ps, self.plane.width, n,
                     self.dvs_last_timestamps, self.dvs_last_ln_val,
                     self.camera_theta, self.video.ref_time,
+                    val_cache=self._dvs_val_cache,
                 )
             if len(plan.pix):
                 parts = self._run_lanes_resident(plan)

@@ -718,46 +718,66 @@ class Video:
         H, W = self.plane.height, self.plane.width
         offsets = np.concatenate([[0], np.cumsum(per_int)])
         self.display_frame_features = self.running_intensities.copy()
-        cis: list = []
-        cxs: list = []
-        cys: list = []
-        for i in range(len(per_int)):
-            sl = slice(int(offsets[i]), int(offsets[i + 1]))
-            if sl.start == sl.stop:
-                continue
-            xs, ys, cs, ds = events.x[sl], events.y[sl], events.c[sl], events.d[sl]
-            # candidate rule: channel 0/None, non-empty d, coord differs from
-            # the circularly-next event's coord (ref: video.rs:900-917)
-            nxt_x = np.roll(xs, -1)
-            nxt_y = np.roll(ys, -1)
-            cand = (
-                ((cs == NO_CHANNEL) | (cs == 0))
-                & (ds != 255)
-                & ((xs != nxt_x) | (ys != nxt_y))
-            )
-            if not cand.any():
-                continue
-            cis.append(np.full(int(cand.sum()), i, np.int32))
-            cxs.append(xs[cand])
-            cys.append(ys[cand])
+        # ONE pass over the chunk's events (no per-interval Python loop):
+        # candidate rule — channel 0/None, non-empty d, coord differs from
+        # the circularly-next event's coord WITHIN its interval
+        # (ref: video.rs:900-917). The circular next is arange+1 with each
+        # interval's last event wrapping to that interval's first.
+        n_ev = len(events)
+        xs, ys, cs, ds = events.x, events.y, events.c, events.d
+        nxt = np.arange(1, n_ev + 1, dtype=np.int64)
+        ends = offsets[1:] - 1
+        starts = offsets[:-1]
+        nonempty = ends >= starts
+        nxt[ends[nonempty]] = starts[nonempty]
+        cand = (
+            ((cs == NO_CHANNEL) | (cs == 0))
+            & (ds != 255)
+            & ((xs != xs[nxt]) | (ys != ys[nxt]))
+        )
+        ci = np.flatnonzero(cand)
 
         new_features: list = []
-        if cis:
-            ii = np.concatenate(cis)
-            xx = np.concatenate(cxs).astype(np.int32)
-            yy = np.concatenate(cys).astype(np.int32)
-            is_f = self._feature_mask_lookup(runnings, ii, yy, xx)
-            # replay the per-interval set updates in stream order (the
-            # mask value per (interval, coord) is unique, so interleaving
-            # adds/discards per candidate == the old two-pass loops)
-            for x, y, f in zip(xx, yy, is_f):
-                key = (int(x), int(y))
-                if f:
-                    if key not in self.features:
-                        self.features.add(key)
-                        new_features.append(key)
+        if len(ci):
+            ii = np.repeat(
+                np.arange(len(per_int), dtype=np.int32), per_int
+            )[ci]
+            xx = xs[ci].astype(np.int32)
+            yy = ys[ci].astype(np.int32)
+            is_f = np.asarray(
+                self._feature_mask_lookup(runnings, ii, yy, xx)
+            ).astype(bool)
+            # Exact replay of the stream-order set updates, vectorized:
+            # membership after the chunk = the key's LAST candidate's mask
+            # bit, and a key was ADDED iff some candidate has f=True while
+            # the previous state was False (previous candidate's bit, or
+            # the pre-chunk set membership for the key's first candidate).
+            key = yy.astype(np.int64) * W + xx
+            sk = np.lexsort((np.arange(len(key)), key))
+            k_s, f_s = key[sk], is_f[sk]
+            first = np.ones(len(k_s), bool)
+            first[1:] = k_s[1:] != k_s[:-1]
+            last = np.empty(len(k_s), bool)
+            last[:-1] = first[1:]
+            last[-1] = True
+            prev = np.empty(len(k_s), bool)
+            prev[1:] = f_s[:-1]
+            uk = k_s[first]
+            ux, uy = (uk % W).astype(int), (uk // W).astype(int)
+            prev[first] = [
+                (int(x), int(y)) in self.features for x, y in zip(ux, uy)
+            ]
+            added = np.logical_and(f_s, ~prev)
+            added_any = np.logical_or.reduceat(added, np.flatnonzero(first))
+            final_f = f_s[last]
+            for x, y, fin, add in zip(ux, uy, final_f, added_any):
+                k = (int(x), int(y))
+                if add:
+                    new_features.append(k)
+                if fin:
+                    self.features.add(k)
                 else:
-                    self.features.discard(key)
+                    self.features.discard(k)
 
         params = self.encoder.options.crf.get_parameters()
         if self.show_features == ShowFeatureMode.Hold:

@@ -374,11 +374,22 @@ def _dvs_loop(n_events=100_000, W=346, H=260, span=200_000):
 
     # offline bulk mode: one big window (view_fps=1), void output — the
     # integration-rate analogue of the mono device loop, including host
-    # lane planning and compact uploads. Larger stream so the fixed
-    # bootstrap/EOF flush cost amortizes.
-    n_bulk = 400_000
+    # lane planning and compact uploads. Steady-state scale: the
+    # bootstrap + EOF flush + final sync are FIXED costs (~75 ms on this
+    # harness); 1.2M events measures throughput, not those constants,
+    # matching the mono loop's convention.
+    #
+    # Decomposition on this harness (r05 traces): the wall is the carrier
+    # h2d TRANSFER — 20 B/event over a ~35 MB/s tunnel is a ~1.75 Mev/s
+    # ceiling by arithmetic alone — plus the native planner (~5-9 Mev/s
+    # host) ahead of it. The device side (scatter + T-resident sub-steps)
+    # measures ~15 Mev/s at these exact shapes when carriers are
+    # pre-staged, i.e. the gap vs `prophesee_dvs_device_integrate` is the
+    # tunnel's transfer tax, not kernel or scheduling slack; on a locally
+    # attached chip (GB/s h2d) the same code is planner-bound.
+    n_bulk = 1_200_000
     rng2 = np.random.default_rng(7)
-    t2 = np.sort(rng2.integers(1000, 400_000, n_bulk)).astype(np.uint32)
+    t2 = np.sort(rng2.integers(1000, 1_200_000, n_bulk)).astype(np.uint32)
     x2 = rng2.integers(0, W, n_bulk)
     y2 = rng2.integers(0, H, n_bulk)
     p2 = rng2.integers(0, 2, n_bulk)
@@ -398,7 +409,45 @@ def _dvs_loop(n_events=100_000, W=346, H=260, span=200_000):
     _, warm2 = run(bulk_path, n_bulk, seeds_of(warm), view_fps=1, void=True)
     dt_a, _ = run(bulk_path, n_bulk, seeds_of(warm2), view_fps=1, void=True)
     dt_b, _ = run(bulk_path, n_bulk, seeds_of(warm2), view_fps=1, void=True)
-    return windowed, n_bulk / min(dt_a, dt_b) / 1e6
+    bulk = n_bulk / min(dt_a, dt_b) / 1e6
+
+    # packed-path device rate at the bulk run's EXACT shapes, carriers
+    # pre-staged (device_put outside the timed region): the same
+    # engine+scatter the bulk e2e dispatches, minus the tunnel's h2d tax —
+    # the apples-to-apples ceiling for the bulk number above.
+    import jax
+    import jax.numpy as jnp
+
+    from adder_tpu.ops import dvs_batch as B
+    from adder_tpu.ops import fused_resident as FR
+    from adder_tpu.ops import integrate as I
+
+    n = warm2.plane.volume()
+    ns = warm2._res_nstate
+    last_t = np.zeros(n, np.uint32)
+    last_ln = np.full(n, float(np.log1p(128.0 / 255.0)), np.float64)
+    plan = B.plan_dvs_batch_compact(
+        t2, x2, y2, p2, W, n, last_t, last_ln, 0.02, 20
+    )
+    L_pad = max(4, -(-plan.n_lanes // 4) * 4)
+    T, E = 2 * L_pad, len(plan.pix)
+    E_pad = max(1024, -(-E // 8192) * 8192)
+    cap = 1 << max(16, (max(64, E * 2) - 1).bit_length())
+    carrier = jax.device_put(jnp.asarray(FR.pack_dvs_plan(plan, E_pad)))
+    fn = FR.make_dvs_chunk_resident_packed(
+        warm2._tp(), cap, T, ns, warm2._res_block, depth=16
+    )
+    st = I.init_state(ns, depth=16)
+    outs = fn(st, carrier)
+    assert int(jax.device_get(outs[3])) <= cap
+    t0 = time.perf_counter()
+    s, reps = st, 3
+    for _ in range(reps):
+        outs = fn(s, carrier)
+        s = outs[0]
+    jax.device_get(outs[3])
+    packed_dev = E * reps / (time.perf_counter() - t0) / 1e6
+    return windowed, bulk, packed_dev
 
 
 def _dvs_device_loop(jax, jnp, n_events=600_000, W=346, H=260, windows=4):
@@ -862,9 +911,10 @@ def main():
             print(f"# dvs device bench failed: {e}", file=sys.stderr)
         _mark("dvs_device")
         try:
-            dvs, dvs_bulk = _dvs_loop()
+            dvs, dvs_bulk, dvs_packed = _dvs_loop()
             _emit("prophesee_to_adder_dvs_transcode", dvs, "Mev/s")
             _emit("prophesee_to_adder_dvs_transcode_bulk", dvs_bulk, "Mev/s")
+            _emit("prophesee_dvs_packed_device", dvs_packed, "Mev/s")
         except Exception as e:
             print(f"# dvs bench failed: {e}", file=sys.stderr)
         _mark("dvs")

@@ -637,7 +637,7 @@ def test_packed_carriers_roundtrip_and_masked_parity():
     f_p = B.make_masked_interval_compact_packed(p, take)
     st_p, pix_p, t_p, n_p = f_p(st0, jnp.asarray(pk))
     f_c = B.make_masked_interval_const(p, take, n, n, 128.0 * 20, 128, 20.0)
-    st_c, pix_c, t_c, n_c = f_c(st0)
+    st_c, [(pix_c, t_c, n_c)] = f_c(st0)
     assert int(n_u) == int(n_p) == int(n_c)
     k = int(n_u)
     np.testing.assert_array_equal(np.asarray(pix_u)[:k], np.asarray(pix_p)[:k])
@@ -647,4 +647,57 @@ def test_packed_carriers_roundtrip_and_masked_parity():
     for a, b in zip(jax.tree.leaves(st_u), jax.tree.leaves(st_p)):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
     for a, b in zip(jax.tree.leaves(st_u), jax.tree.leaves(st_c)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_masked_interval_const_reps_and_void():
+    """One reps=2 const masked call == two chained reps=1 calls (state and
+    per-rep events), and the compact=False (void) variant chains the same
+    state while skipping compaction entirely."""
+    import jax
+
+    n = 64
+    p = K.TranscodeParams(
+        mode=int(Mode.Continuous), time_mode=int(TimeMode.AbsoluteT),
+        ref_time=20, delta_t_max=40, c_thresh_max=10,
+        c_increase_velocity=1,
+    )
+    st0 = K.init_state(n, depth=8)
+    take = 1 << (n - 1).bit_length()
+    f1 = B.make_masked_interval_const(p, take, n, n, 128.0 * 20, 128, 20.0)
+    st_a, [(pix_a, t_a, n_a)] = f1(st0)
+    st_b, [(pix_b, t_b, n_b)] = f1(st_a)
+
+    f2 = B.make_masked_interval_const(
+        p, take, n, n, 128.0 * 20, 128, 20.0, reps=2
+    )
+    st_r, [(pix_1, t_1, n_1), (pix_2, t_2, n_2)] = f2(st0)
+    assert int(n_1) == int(n_a) and int(n_2) == int(n_b)
+    k1, k2 = int(n_a), int(n_b)
+    np.testing.assert_array_equal(np.asarray(pix_1)[:k1], np.asarray(pix_a)[:k1])
+    np.testing.assert_array_equal(np.asarray(t_1)[:k1], np.asarray(t_a)[:k1])
+    np.testing.assert_array_equal(np.asarray(pix_2)[:k2], np.asarray(pix_b)[:k2])
+    np.testing.assert_array_equal(np.asarray(t_2)[:k2], np.asarray(t_b)[:k2])
+    for a, b in zip(jax.tree.leaves(st_r), jax.tree.leaves(st_b)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    f_void = B.make_masked_interval_const(
+        p, take, n, n, 128.0 * 20, 128, 20.0, reps=2, compact=False
+    )
+    st_v, rep_outs = f_void(st0)
+    assert all(int(nv) == 0 and pv.shape == (0,) for pv, _, nv in rep_outs)
+    for a, b in zip(jax.tree.leaves(st_v), jax.tree.leaves(st_b)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    # packed variant: compact=False chains the same state too
+    inten = np.full(n, 128.0 * 20, np.float32)
+    pk = np.zeros((4, n), np.int32)
+    pk[0] = inten.view(np.int32)
+    pk[1] = 128
+    pk[2] = np.full(n, 20.0, np.float32).view(np.int32)
+    pk[3] = 1
+    fp = B.make_masked_interval_compact_packed(p, take, compact=False)
+    st_pv, pix_pv, _, n_pv = fp(st0, jnp.asarray(pk))
+    assert int(n_pv) == 0 and pix_pv.shape == (0,)
+    for a, b in zip(jax.tree.leaves(st_pv), jax.tree.leaves(st_a)):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
