@@ -794,60 +794,103 @@ def _adder_to_dvs_loop(tmp_dir):
     conv_dt = time.perf_counter() - t0
     rate = 60000 / conv_dt / 1e6
 
-    # event-domain round trip on a synthetic DVS stream
+    def round_trip(tag, t, x, y, p, W, H):
+        """DVS raw -> Prophesee transcode -> .adder -> adder_to_dvs at the
+        same theta -> per-pixel polarity-count precision/recall."""
+        n_ev = len(t)
+        w = (
+            (p.astype(np.uint64) << 28)
+            | (y.astype(np.uint64) << 14)
+            | x.astype(np.uint64)
+        )
+        rec = np.empty(n_ev * 2, np.uint32)
+        rec[0::2] = t
+        rec[1::2] = w.astype(np.uint32)
+        raw = os.path.join(tmp_dir, f"rt_{tag}.raw")
+        with open(raw, "wb") as f:
+            f.write(f"% Height {H}\n% Width {W}\n".encode())
+            f.write(bytes([0, 8]))
+            f.write(rec.tobytes())
+
+        a_path = os.path.join(tmp_dir, f"rt_{tag}.adder")
+        src = Prophesee(20, raw, batched=True, view_fps=1)  # bulk windows
+        theta = src.camera_theta
+        src.write_out(
+            SourceCamera.Dvs, TimeMode.AbsoluteT, PixelMultiMode.Collapse,
+            None, EncoderType.Raw, EncoderOptions.default(src.plane),
+            open(a_path, "wb"),
+        )
+        while True:
+            try:
+                src.consume()
+            except EOFError:
+                break
+        src.end_write_stream().close()
+
+        out = io.BytesIO()
+        stats = adder_to_dvs(a_path, out, output_mode="binary", theta=theta)
+        data = out.getvalue()
+        bod, _, _, _ = parse_header(io.BytesIO(data))
+        _, x2, y2, p2 = decode_events_np(data[bod:])
+
+        def keyed(xa, ya, pa):
+            k = (
+                ya.astype(np.int64) * W + xa.astype(np.int64)
+            ) * 2 + pa.astype(np.int64)
+            return np.bincount(k, minlength=W * H * 2)
+
+        ca, cb = keyed(x, y, p), keyed(x2, y2, p2)
+        matched = np.minimum(ca, cb).sum()
+        precision = float(matched / max(cb.sum(), 1))
+        recall = float(matched / max(ca.sum(), 1))
+        return precision, recall, stats["n_dvs_events"]
+
+    # (a) adversarially RANDOM stream: per-pixel polarity flips land inside
+    # one ADDER integration span and cancel by representation — recall here
+    # measures temporal quantization, not conversion quality
     W, H, n_ev = 64, 48, 20000
     rng = np.random.default_rng(3)
     t = np.sort(rng.integers(1000, 120_000, n_ev)).astype(np.uint32)
     x = rng.integers(0, W, n_ev)
     y = rng.integers(0, H, n_ev)
     p = rng.integers(0, 2, n_ev)
-    w = (
-        (p.astype(np.uint64) << 28)
-        | (y.astype(np.uint64) << 14)
-        | x.astype(np.uint64)
+    precision, recall, n_rt = round_trip("rand", t, x, y, p, W, H)
+
+    # (b) STRUCTURED scene (r04 verdict item 6): a vertical edge sweeping
+    # right — pixel x brightens when the edge arrives at t = 1000 + x*P and
+    # darkens when it leaves E ticks later. A real edge is a BURST of
+    # same-polarity events (8 x theta = 0.16 log contrast — single events
+    # at theta = 0.02 sit below ADDER's D-quantization resolution and
+    # vanish in ANY converter); bursts are same-polarity (accumulate — only
+    # opposite polarities can cancel) and arrival/departure are separated
+    # by E >> delta_t_max so nothing cancels inside one integration span.
+    # High recall here demonstrates the random stream's recall loss is
+    # representation quantization, not a conversion bug.
+    P, E, BURST, STEP = 400, 12_000, 8, 4
+    cols = np.arange(W, dtype=np.int64)
+    base_on = 1000 + cols * P  # (W,)
+    burst = np.arange(BURST, dtype=np.int64) * STEP  # (BURST,)
+    # per (col, row, burst-step) event grids, ON then OFF
+    ts_on = (base_on[:, None, None] + burst[None, None, :]).repeat(H, axis=1)
+    ts_off = ts_on + E
+    xg = np.broadcast_to(cols[:, None, None], ts_on.shape)
+    yg = np.broadcast_to(
+        np.arange(H, dtype=np.int64)[None, :, None], ts_on.shape
     )
-    rec = np.empty(n_ev * 2, np.uint32)
-    rec[0::2] = t
-    rec[1::2] = w.astype(np.uint32)
-    raw = os.path.join(tmp_dir, "rt.raw")
-    with open(raw, "wb") as f:
-        f.write(f"% Height {H}\n% Width {W}\n".encode())
-        f.write(bytes([0, 8]))
-        f.write(rec.tobytes())
-
-    a_path = os.path.join(tmp_dir, "rt.adder")
-    src = Prophesee(20, raw, batched=True, view_fps=1)  # bulk windows
-    theta = src.camera_theta
-    src.write_out(
-        SourceCamera.Dvs, TimeMode.AbsoluteT, PixelMultiMode.Collapse,
-        None, EncoderType.Raw, EncoderOptions.default(src.plane),
-        open(a_path, "wb"),
+    t_s = np.concatenate([ts_on.ravel(), ts_off.ravel()])
+    x_s = np.concatenate([xg.ravel(), xg.ravel()])
+    y_s = np.concatenate([yg.ravel(), yg.ravel()])
+    half = ts_on.size
+    p_s = np.concatenate(
+        [np.ones(half, np.int64), np.zeros(half, np.int64)]
     )
-    while True:
-        try:
-            src.consume()
-        except EOFError:
-            break
-    src.end_write_stream().close()
+    o = np.argsort(t_s, kind="stable")
+    prec_s, rec_s, _ = round_trip(
+        "edge", t_s[o].astype(np.uint32), x_s[o], y_s[o], p_s[o], W, H
+    )
 
-    out = io.BytesIO()
-    stats = adder_to_dvs(a_path, out, output_mode="binary", theta=theta)
-    stats["n_dvs_events"] += nyc_stats["n_dvs_events"]
-    data = out.getvalue()
-    bod, _, _, _ = parse_header(io.BytesIO(data))
-    _, x2, y2, p2 = decode_events_np(data[bod:])
-
-    def keyed(xa, ya, pa):
-        k = (
-            ya.astype(np.int64) * W + xa.astype(np.int64)
-        ) * 2 + pa.astype(np.int64)
-        return np.bincount(k, minlength=W * H * 2)
-
-    ca, cb = keyed(x, y, p), keyed(x2, y2, p2)
-    matched = np.minimum(ca, cb).sum()
-    precision = float(matched / max(cb.sum(), 1))
-    recall = float(matched / max(ca.sum(), 1))
-    return rate, stats["n_dvs_events"], precision, recall
+    n_total = n_rt + nyc_stats["n_dvs_events"]
+    return rate, n_total, precision, recall, prec_s, rec_s
 
 
 def main():
@@ -948,10 +991,12 @@ def main():
             import tempfile
 
             with tempfile.TemporaryDirectory() as td:
-                rate, n_dvs, prec, rec = _adder_to_dvs_loop(td)
+                rate, n_dvs, prec, rec, prec_s, rec_s = _adder_to_dvs_loop(td)
             _emit("adder_to_dvs_convert", rate, "Mev/s")
             _emit("adder_to_dvs_roundtrip_event_precision", prec, "frac")
             _emit("adder_to_dvs_roundtrip_event_recall", rec, "frac")
+            _emit("adder_to_dvs_structured_precision", prec_s, "frac")
+            _emit("adder_to_dvs_structured_recall", rec_s, "frac")
             print(f"# adder_to_dvs emitted {n_dvs} DVS events",
                   file=sys.stderr)
         except Exception as e:
