@@ -116,6 +116,11 @@ class LiveTranscoder:
             a.feature_rate_adjustment, a.feature_cluster,
         )
         v.update_roi(a.roi)
+        # quality metrics need the reconstructed frame synced each chunk
+        # even when feature detection is off (video.py keeps
+        # running_intensities only when asked)
+        if a.quality_metrics:
+            v._keep_running_frame = True
         v.encoder.options.event_order = a.event_order
         v.encoder.sync_crf()
 
@@ -136,7 +141,9 @@ class LiveTranscoder:
         s.events_per_sec = len(events) / max(interval_sec, 1e-9)
         s.events_ppc_per_sec = s.events_per_sec / v.plane.volume()
         s.bitrate_bps = s.events_per_sec * v.get_event_size() * 8
-        if self.adaptive.quality_metrics and v.feature_detection:
+        if self.adaptive.quality_metrics and getattr(
+            self.source, "frames", None
+        ) is not None:
             recon = v.running_intensities
             src = self.source.frames[self.source.frame_idx - 1]
             m = calculate_quality_metrics(src, recon, QualityMetrics())

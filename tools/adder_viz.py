@@ -46,7 +46,9 @@ button.stop { background: #b91c1c; }
 #stats { display: grid; grid-template-columns: 1fr 1fr; gap: 8px; margin-top: 10px; }
 .stat { background: #22252a; border-radius: 8px; padding: 8px; }
 .stat .v { font-size: 18px; font-weight: 700; } .stat .k { font-size: 11px; color: #9aa2ad; }
-#spark { margin-top: 10px; background: #22252a; border-radius: 8px; }
+.chart { margin-top: 8px; background: #22252a; border-radius: 8px; padding: 6px 8px 2px; }
+.chart .t { font-size: 11px; color: #9aa2ad; display: flex; justify-content: space-between; }
+.chart .t b { color: #e6e6e6; }
 </style></head><body>
 <header><h1>ADDER viz</h1>
   <div class="tab active" id="tab-t" onclick="setTab('transcode')">Transcode</div>
@@ -65,28 +67,64 @@ button.stop { background: #b91c1c; }
       <option value="off">Off</option><option value="instant">Instant</option>
       <option value="hold">Hold</option></select></div>
     <div><label>ROI (x0,y0,x1,y1; empty = none)</label><input id="roi"></div>
+    <div><label>Quality metrics (PSNR/MSE vs source)</label><select id="quality">
+      <option value="off">Off</option><option value="on">On</option></select></div>
     <div><label>delta_t_ref</label><input id="dtref" type="number" value="255"></div>
     <div><label>delta_t_max multiplier</label><input id="dtmult" type="number" value="30"></div>
     <div><label>Output .adder (transcode; empty = none)</label><input id="outpath"></div>
     <button onclick="start()">Start</button>
     <button class="stop" onclick="stop()">Stop</button>
     <div id="stats"></div>
-    <canvas id="spark" width="280" height="80"></canvas>
+    <div id="charts"></div>
   </div>
   <div id="view"><img id="frame" width="768"></div>
 </main>
 <script>
-let tab = 'transcode', hist = [];
+let tab = 'transcode';
 function setTab(t) { tab = t;
   document.getElementById('tab-t').classList.toggle('active', t=='transcode');
   document.getElementById('tab-p').classList.toggle('active', t=='play'); }
 function params() { return {
   tab: tab, path: val('path'), crf: +val('crf'), view_mode: +val('view_mode'),
   features: val('features'), roi: val('roi'), dtref: +val('dtref'),
-  dtmult: +val('dtmult'), outpath: val('outpath') }; }
+  dtmult: +val('dtmult'), outpath: val('outpath'),
+  quality: val('quality') == 'on' }; }
 function val(id) { return document.getElementById(id).value; }
 async function start() { await fetch('/api/start', {method:'POST', body: JSON.stringify(params())}); }
 async function stop() { await fetch('/api/stop', {method:'POST'}); }
+// live plot panel (adder-viz transcoder plots: event rate, bitrate,
+// transcode FPS, quality — ref transcoder/mod.rs:64-73)
+const PLOTS = [
+  {key:'events_per_sec',  label:'events/s',  color:'#3b82f6', fmt:v=>v.toPrecision(4)},
+  {key:'bitrate_bps',     label:'bitrate',   color:'#22c55e', fmt:v=>(v/1e6).toPrecision(4)+' Mb/s'},
+  {key:'transcoded_fps',  label:'fps',       color:'#eab308', fmt:v=>v.toPrecision(4)},
+  {key:'psnr',            label:'PSNR (dB)', color:'#ec4899', fmt:v=>v.toPrecision(4)},
+];
+const hists = {};
+const chartsDiv = document.getElementById('charts');
+for (const p of PLOTS) {
+  hists[p.key] = [];
+  chartsDiv.insertAdjacentHTML('beforeend',
+    `<div class="chart" id="chart_${p.key}" style="display:none">
+       <div class="t"><span>${p.label}</span><b id="cv_${p.key}"></b></div>
+       <canvas id="cc_${p.key}" width="264" height="48"></canvas></div>`);
+}
+function drawPlots(stats) {
+  for (const p of PLOTS) {
+    const v = stats[p.key];
+    const box = document.getElementById('chart_' + p.key);
+    if (v === undefined || v === null) { continue; }
+    box.style.display = '';
+    const h = hists[p.key];
+    h.push(v); if (h.length > 132) h.shift();
+    document.getElementById('cv_' + p.key).textContent = p.fmt(v);
+    const c = document.getElementById('cc_' + p.key).getContext('2d');
+    c.clearRect(0,0,264,48); c.strokeStyle = p.color; c.beginPath();
+    const mx = Math.max(...h, 1e-9), mn = Math.min(...h, 0);
+    h.forEach((y,i) => { const px=i*2, py=46-44*(y-mn)/(mx-mn||1); i? c.lineTo(px,py): c.moveTo(px,py); });
+    c.stroke();
+  }
+}
 async function tick() {
   try {
     const s = await (await fetch('/api/stats')).json();
@@ -94,20 +132,13 @@ async function tick() {
     const entries = Object.entries(s.stats || {});
     document.getElementById('stats').innerHTML = entries.map(([k,v]) =>
       `<div class="stat"><div class="v">${typeof v=='number'? v.toPrecision(4): v}</div><div class="k">${k}</div></div>`).join('');
-    if (s.stats && s.stats.events_per_sec !== undefined) {
-      hist.push(s.stats.events_per_sec); if (hist.length > 140) hist.shift();
-      const c = document.getElementById('spark').getContext('2d');
-      c.clearRect(0,0,280,80); c.strokeStyle = '#3b82f6'; c.beginPath();
-      const mx = Math.max(...hist, 1);
-      hist.forEach((v,i) => { const x=i*2, y=78-74*v/mx; i? c.lineTo(x,y): c.moveTo(x,y); });
-      c.stroke();
-    }
+    if (s.stats) drawPlots(s.stats);
     if (s.running) document.getElementById('frame').src = '/api/frame?' + Date.now();
   } catch (e) {}
   setTimeout(tick, 500);
 }
 // live adaptive updates on change
-for (const id of ['crf','view_mode','features','roi'])
+for (const id of ['crf','view_mode','features','roi','quality'])
   document.getElementById(id).addEventListener('change', async () =>
     { await fetch('/api/adaptive', {method:'POST', body: JSON.stringify(params())}); });
 tick();
@@ -164,6 +195,7 @@ class Session:
                     "hold": ShowFeatureMode.Hold,
                 }[cfg["features"]],
                 roi=_parse_roi(cfg.get("roi", "")),
+                quality_metrics=bool(cfg.get("quality")),
             )
             obj.update_adaptive(a)
         else:
@@ -227,6 +259,9 @@ class Session:
                 "bitrate_bps": s.bitrate_bps,
                 "transcoded_fps": s.transcoded_fps,
             }
+            if s.psnr is not None:
+                self.stats["psnr"] = s.psnr
+                self.stats["mse"] = s.mse
             v = lt.source.video
             frame = (
                 v.display_frame_features
