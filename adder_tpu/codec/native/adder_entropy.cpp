@@ -295,10 +295,6 @@ struct Ev {
     uint32_t t;
 };
 
-struct Cube {
-    std::vector<Ev> px[3][BLOCK_SIZE][BLOCK_SIZE];
-    bool skip = true;
-};
 
 static double event_to_intensity_d(uint8_t d, uint32_t delta_t, uint32_t dt_ref) {
     // ref: cabac_contexts.rs:72-81 (D_SHIFT table is 129 entries; >=129 -> 0)
@@ -693,90 +689,172 @@ struct StageClock {
     }
 };
 
+// ------------------------------------------------------ CSR decode side ---
+// Decode-side mirror of the CSR encode: three linear passes (intra fills
+// per-pixel first events, inter appends chain events to one flat buffer
+// with per-pixel segment ends, drain walks pixels once writing the output
+// in the reference order) — no per-pixel heap vectors. Shared by both
+// entropy stages via the Dec template (RangeDecoder / SymReplayer).
+struct CsrDec {
+    size_t n_cubes, channels, n_pix;
+    std::vector<uint8_t> cube_skip;   // 1 = no events in cube
+    std::vector<uint8_t> has_first;   // per pixel
+    std::vector<uint8_t> first_d;
+    std::vector<uint32_t> first_t;
+    std::vector<uint32_t> seg_end;    // inter-event flat end per pixel
+    std::vector<uint8_t> ev_d;        // inter events, decode order
+    std::vector<uint32_t> ev_t;
+
+    void init(size_t cubes, size_t ch) {
+        n_cubes = cubes;
+        channels = ch;
+        n_pix = cubes * ch * (BLOCK_SIZE * BLOCK_SIZE);
+        cube_skip.assign(n_cubes, 1);
+        has_first.assign(n_pix, 0);
+        first_d.resize(n_pix);
+        first_t.resize(n_pix);
+        seg_end.assign(n_pix, 0);
+        ev_d.clear();
+        ev_t.clear();
+    }
+};
+
 // ref: event_cube.rs:519-598
 template <class Dec>
-static bool decompress_intra(Cube& cube, Dec& dec, Model& m,
-                             const Contexts& ctxs, uint32_t start_t,
-                             int channels) {
-    bool have_init = false;
-    Ev init{0, 0};
-    cube.skip = true;
-    for (int c = 0; c < channels; c++)
-        for (int y = 0; y < BLOCK_SIZE; y++)
-            for (int x = 0; x < BLOCK_SIZE; x++) {
-                auto& pixel = cube.px[c][y][x];
-                m.current = ctxs.d_context;
-                size_t sym = dec.decode(m);
-                int16_t d_residual = (int16_t)sym - D_RESIDUAL_OFFSET;
-                if (d_residual == DRESIDUAL_SKIP_CUBE) {
-                    pixel.clear();
-                    cube.skip = true;
-                    return true;  // whole cube skipped
-                } else if (d_residual == DRESIDUAL_NO_EVENT) {
-                    pixel.clear();
-                } else {
-                    uint8_t d;
-                    if (have_init) {
-                        d = (uint8_t)((int16_t)init.d + d_residual);
-                    } else {
-                        init = Ev{0, start_t};
-                        have_init = true;
-                        cube.skip = false;
-                        d = (uint8_t)d_residual;
-                    }
-                    uint8_t amt;
-                    decode_bytes(dec, m, ctxs.bitshift_context, &amt, 1);
-                    int64_t t_residual = read_t_residual(dec, m, ctxs, amt);
-                    init.d = (uint8_t)((int16_t)init.d + d_residual);
-                    init.t = (uint32_t)((int64_t)init.t + t_residual);
-                    pixel.push_back(Ev{d, init.t});
-                }
+static void csr_decompress_intra(CsrDec& a, Dec& dec, Model& m,
+                                 const Contexts& ctxs, uint32_t start_t) {
+    const size_t ppc = a.channels * (BLOCK_SIZE * BLOCK_SIZE);
+    for (size_t cube = 0; cube < a.n_cubes; cube++) {
+        bool have_init = false;
+        Ev init{0, 0};
+        bool skip_rest = false;
+        for (size_t p = cube * ppc; p < (cube + 1) * ppc; p++) {
+            if (skip_rest) break;
+            m.current = ctxs.d_context;
+            const size_t sym = dec.decode(m);
+            const int16_t d_residual = (int16_t)sym - D_RESIDUAL_OFFSET;
+            if (d_residual == DRESIDUAL_SKIP_CUBE) {
+                a.cube_skip[cube] = 1;
+                skip_rest = true;  // whole cube absent; 1 symbol consumed
+                break;
             }
-    return false;
+            if (d_residual == DRESIDUAL_NO_EVENT) continue;
+            uint8_t d;
+            if (have_init) {
+                d = (uint8_t)((int16_t)init.d + d_residual);
+            } else {
+                init = Ev{0, start_t};
+                have_init = true;
+                a.cube_skip[cube] = 0;
+                d = (uint8_t)d_residual;
+            }
+            uint8_t amt;
+            decode_bytes(dec, m, ctxs.bitshift_context, &amt, 1);
+            const int64_t t_residual = read_t_residual(dec, m, ctxs, amt);
+            init.d = (uint8_t)((int16_t)init.d + d_residual);
+            init.t = (uint32_t)((int64_t)init.t + t_residual);
+            a.first_d[p] = d;
+            a.first_t[p] = init.t;
+            a.has_first[p] = 1;
+        }
+    }
 }
 
-// ref: event_cube.rs:600-685
+// ref: event_cube.rs:600-685. Returns false on a corrupt stream (per-pixel
+// event cap exceeded — a corrupted symbol stream may never decode
+// DRESIDUAL_NO_EVENT).
 template <class Dec>
-static bool decompress_inter(Cube& cube, Dec& dec, Model& m,
-                             const Contexts& ctxs, uint32_t start_t,
-                             uint32_t dt_ref, size_t num_intervals,
-                             int channels) {
-    if (cube.skip) return true;
-    // Corrupt-stream guard: a legitimate pixel emits a handful of events per
-    // interval (arena depth), but a corrupted symbol stream may never decode
-    // DRESIDUAL_NO_EVENT; cap the per-pixel loop instead of growing forever.
+static bool csr_decompress_inter(CsrDec& a, Dec& dec, Model& m,
+                                 const Contexts& ctxs, uint32_t start_t,
+                                 uint32_t dt_ref, size_t num_intervals) {
+    const size_t ppc = a.channels * (BLOCK_SIZE * BLOCK_SIZE);
     const size_t max_per_px = 32 * num_intervals + 1024;
-    for (int c = 0; c < channels; c++)
-        for (int y = 0; y < BLOCK_SIZE; y++)
-            for (int x = 0; x < BLOCK_SIZE; x++) {
-                auto& pixel = cube.px[c][y][x];
-                if (pixel.empty()) continue;
-                size_t idx = 1;
+    for (size_t cube = 0; cube < a.n_cubes; cube++) {
+        if (a.cube_skip[cube]) {
+            for (size_t p = cube * ppc; p < (cube + 1) * ppc; p++)
+                a.seg_end[p] = (uint32_t)a.ev_d.size();
+            continue;
+        }
+        for (size_t p = cube * ppc; p < (cube + 1) * ppc; p++) {
+            if (a.has_first[p]) {
+                Ev prev{a.first_d[p], a.first_t[p]};
                 uint32_t last_delta_t = 0;
-                for (;;) {
-                    if (pixel.size() > max_per_px) return false;
+                for (size_t idx = 1;; idx++) {
+                    if (idx > max_per_px) return false;
                     uint8_t db[2];
                     decode_bytes(dec, m, ctxs.d_context, db, 2);
-                    int16_t d_residual =
+                    const int16_t d_residual =
                         (int16_t)(((uint16_t)db[0] << 8) | db[1]);
                     if (d_residual == DRESIDUAL_NO_EVENT) break;
-                    Ev prev = pixel[idx - 1];
-                    uint8_t d = (uint8_t)((int16_t)prev.d + d_residual);
-                    uint32_t t_prediction = generate_t_prediction(
+                    const uint8_t d =
+                        (uint8_t)((int16_t)prev.d + d_residual);
+                    const uint32_t t_prediction = generate_t_prediction(
                         idx, d_residual, last_delta_t, prev, num_intervals,
                         dt_ref, start_t);
                     uint8_t amt;
                     decode_bytes(dec, m, ctxs.bitshift_context, &amt, 1);
-                    int64_t t_residual = read_t_residual(dec, m, ctxs, amt);
+                    const int64_t t_residual =
+                        read_t_residual(dec, m, ctxs, amt);
                     uint32_t t =
                         (uint32_t)((int64_t)t_prediction + t_residual);
                     if (t < prev.t) t = prev.t;
                     last_delta_t = t - prev.t;
-                    pixel.push_back(Ev{d, t});
-                    idx++;
+                    a.ev_d.push_back(d);
+                    a.ev_t.push_back(t);
+                    prev = Ev{d, t};
                 }
             }
+            a.seg_end[p] = (uint32_t)a.ev_d.size();
+        }
+    }
     return true;
+}
+
+// Drain in the reference single-thread order (event_adu.rs:195-214):
+// cube raster, then channel, then pixel raster, per-pixel chronological
+// (= the first event, then that pixel's inter segment). Returns event
+// count, or -1 if the caller's capacity is insufficient.
+static long csr_drain(const CsrDec& a, size_t blocks_x, uint16_t* xs,
+                      uint16_t* ys, uint8_t* cs, uint8_t* ds, uint32_t* ts,
+                      size_t cap) {
+    size_t k = 0;
+    size_t p = 0;
+    const size_t ppc = a.channels * (BLOCK_SIZE * BLOCK_SIZE);
+    for (size_t cube = 0; cube < a.n_cubes; cube++) {
+        if (a.cube_skip[cube]) {
+            // matches the old cube-drain semantics: a skip flag drops the
+            // whole cube even if a corrupt stream decoded partial pixels
+            p += ppc;
+            continue;
+        }
+        const size_t by = cube / blocks_x, bx = cube % blocks_x;
+        for (size_t c = 0; c < a.channels; c++)
+            for (int y = 0; y < BLOCK_SIZE; y++)
+                for (int x = 0; x < BLOCK_SIZE; x++, p++) {
+                    if (!a.has_first[p]) continue;
+                    const uint32_t lo = p ? a.seg_end[p - 1] : 0;
+                    const uint32_t hi = a.seg_end[p];
+                    if (k + 1 + (hi - lo) > cap) return -1;
+                    const uint16_t px = (uint16_t)(bx * BLOCK_SIZE + x);
+                    const uint16_t py = (uint16_t)(by * BLOCK_SIZE + y);
+                    const uint8_t pc =
+                        a.channels == 1 ? 255 : (uint8_t)c;
+                    xs[k] = px;
+                    ys[k] = py;
+                    cs[k] = pc;
+                    ds[k] = a.first_d[p];
+                    ts[k] = a.first_t[p];
+                    k++;
+                    for (uint32_t e = lo; e < hi; e++, k++) {
+                        xs[k] = px;
+                        ys[k] = py;
+                        cs[k] = pc;
+                        ds[k] = a.ev_d[e];
+                        ts[k] = a.ev_t[e];
+                    }
+                }
+    }
+    return (long)k;
 }
 
 // --------------------------------------------------- interleaved rANS ------
@@ -1057,9 +1135,8 @@ long adder_decompress_adu(const uint8_t* blob, size_t blob_len, uint16_t width,
                           uint32_t dt_ref, uint32_t num_intervals,
                           uint16_t* xs, uint16_t* ys, uint8_t* cs, uint8_t* ds,
                           uint32_t* ts, size_t cap) {
-    int blocks_y = (height + BLOCK_SIZE - 1) / BLOCK_SIZE;
-    int blocks_x = (width + BLOCK_SIZE - 1) / BLOCK_SIZE;
-    std::vector<Cube> cubes((size_t)blocks_y * blocks_x);
+    const size_t blocks_y = (height + BLOCK_SIZE - 1) / BLOCK_SIZE;
+    const size_t blocks_x = (width + BLOCK_SIZE - 1) / BLOCK_SIZE;
 
     BitReader br{blob, blob_len};
     RangeDecoder dec;
@@ -1072,33 +1149,13 @@ long adder_decompress_adu(const uint8_t* blob, size_t blob_len, uint16_t width,
     for (int i = 0; i < 4; i++) stb[i] = (uint8_t)dec.decode(m);
     (void)stb;  // the reference reads but ignores this, using its own start_t
 
-    for (auto& cube : cubes)
-        decompress_intra(cube, dec, m, ctxs, start_t, channels);
-    for (auto& cube : cubes)
-        if (!decompress_inter(cube, dec, m, ctxs, start_t, dt_ref,
-                              num_intervals, channels))
-            return -2;  // corrupt stream: per-pixel event cap exceeded
-
-    // drain
-    size_t k = 0;
-    for (int by = 0; by < blocks_y; by++)
-        for (int bx = 0; bx < blocks_x; bx++) {
-            Cube& cube = cubes[(size_t)by * blocks_x + bx];
-            if (cube.skip) continue;
-            for (int c = 0; c < channels; c++)
-                for (int y = 0; y < BLOCK_SIZE; y++)
-                    for (int x = 0; x < BLOCK_SIZE; x++)
-                        for (const Ev& e : cube.px[c][y][x]) {
-                            if (k >= cap) return -1;
-                            xs[k] = (uint16_t)(bx * BLOCK_SIZE + x);
-                            ys[k] = (uint16_t)(by * BLOCK_SIZE + y);
-                            cs[k] = channels == 1 ? 255 : (uint8_t)c;
-                            ds[k] = e.d;
-                            ts[k] = e.t;
-                            k++;
-                        }
-        }
-    return (long)k;
+    CsrDec a;
+    a.init(blocks_y * blocks_x, channels);
+    csr_decompress_intra(a, dec, m, ctxs, start_t);
+    if (!csr_decompress_inter(a, dec, m, ctxs, start_t, dt_ref,
+                              num_intervals))
+        return -2;  // corrupt stream: per-pixel event cap exceeded
+    return csr_drain(a, blocks_x, xs, ys, cs, ds, ts, cap);
 }
 
 void adder_free(uint8_t* p) { std::free(p); }
@@ -1241,9 +1298,8 @@ long adder_decompress_adu_rans(const uint8_t* blob, size_t blob_len,
                                uint32_t dt_ref, uint32_t num_intervals,
                                uint16_t* xs, uint16_t* ys, uint8_t* cs,
                                uint8_t* ds, uint32_t* ts, size_t cap) {
-    int blocks_y = (height + BLOCK_SIZE - 1) / BLOCK_SIZE;
-    int blocks_x = (width + BLOCK_SIZE - 1) / BLOCK_SIZE;
-    std::vector<Cube> cubes((size_t)blocks_y * blocks_x);
+    const size_t blocks_y = (height + BLOCK_SIZE - 1) / BLOCK_SIZE;
+    const size_t blocks_x = (width + BLOCK_SIZE - 1) / BLOCK_SIZE;
 
     Model m;
     Contexts ctxs(m);
@@ -1296,33 +1352,14 @@ long adder_decompress_adu_rans(const uint8_t* blob, size_t blob_len,
     rep.raw_len = raw_len;
     cur.pos += raw_len;
 
-    for (auto& cube : cubes)
-        decompress_intra(cube, rep, m, ctxs, start_t, channels);
-    for (auto& cube : cubes)
-        if (!decompress_inter(cube, rep, m, ctxs, start_t, dt_ref,
-                              num_intervals, channels))
-            return -2;
+    CsrDec a;
+    a.init(blocks_y * blocks_x, channels);
+    csr_decompress_intra(a, rep, m, ctxs, start_t);
+    if (!csr_decompress_inter(a, rep, m, ctxs, start_t, dt_ref,
+                              num_intervals))
+        return -2;
     if (rep.fail) return -2;
-
-    size_t k = 0;
-    for (int by = 0; by < blocks_y; by++)
-        for (int bx = 0; bx < blocks_x; bx++) {
-            Cube& cube = cubes[(size_t)by * blocks_x + bx];
-            if (cube.skip) continue;
-            for (int c = 0; c < channels; c++)
-                for (int y = 0; y < BLOCK_SIZE; y++)
-                    for (int x = 0; x < BLOCK_SIZE; x++)
-                        for (const Ev& e : cube.px[c][y][x]) {
-                            if (k >= cap) return -1;
-                            xs[k] = (uint16_t)(bx * BLOCK_SIZE + x);
-                            ys[k] = (uint16_t)(by * BLOCK_SIZE + y);
-                            cs[k] = channels == 1 ? 255 : (uint8_t)c;
-                            ds[k] = e.d;
-                            ts[k] = e.t;
-                            k++;
-                        }
-        }
-    return (long)k;
+    return csr_drain(a, blocks_x, xs, ys, cs, ds, ts, cap);
 }
 
 // LZ4 block decompression (standard LZ4 block format; used by the aedat4

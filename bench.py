@@ -656,7 +656,10 @@ def _expected_survivors(ev, ref_interval: int, adu_interval: int):
     adu = np.empty(n, np.int64)
     start_t, i, k = 0, 0, 0
     while i < n:
-        cut = i + int(np.searchsorted(t[i:], start_t + span, side="right"))
+        # first event past the span (order-agnostic, like the real ingest
+        # loop — the stream need not be globally t-sorted)
+        rel = np.flatnonzero(t[i:] > start_t + span)
+        cut = i + int(rel[0]) if len(rel) else n
         adu[i:cut] = k
         if cut >= n:
             break

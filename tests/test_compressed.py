@@ -464,3 +464,38 @@ def test_compress_decompress_several_with_skip(tmp_path):
     assert got.get(key, []) == want[key]
     n_want = sum(len(v) for v in want.values())
     assert len(back) == n_want, (len(back), n_want)
+
+
+def test_addrn_truncated_raw_side_channel_bounded(tmp_path):
+    """addrn v3 carries FULL-escape low bytes in a raw side channel after
+    the three coded streams; truncating or corrupting inside it must fail
+    cleanly (CodecError / short decode), never crash or hang."""
+    from adder_tpu.codec.compressed import compress_adu, decompress_adu
+    from adder_tpu.codec.header import CodecError
+
+    w, h = 48, 32
+    ev = synth_events(600, w, h, 1, 255 * 8, seed=7, start_t=0)
+    ev = ev[np.argsort(ev.t, kind="stable")]
+    blob = compress_adu(ev, w, h, 1, 0, 255, 8, 7, rans=True)
+    full = decompress_adu(blob, w, h, 1, 0, 255, 8, rans=True)
+    assert len(full) > 0
+
+    for cut in (1, 2, 4, 8, 16, 32):
+        bad = blob[: len(blob) - cut]
+        try:
+            out = decompress_adu(bad, w, h, 1, 0, 255, 8, rans=True)
+            assert len(out) <= len(full)
+        except CodecError:
+            pass
+
+    rng = np.random.default_rng(1)
+    for _ in range(6):
+        bad = bytearray(blob)
+        for _ in range(8):  # corrupt tail bytes (raw section lives there)
+            i = int(rng.integers(len(bad) - 64, len(bad)))
+            bad[i] = int(rng.integers(0, 256))
+        try:
+            out = decompress_adu(bytes(bad), w, h, 1, 0, 255, 8, rans=True)
+            assert len(out) < 5_000_000
+        except CodecError:
+            pass
