@@ -325,6 +325,8 @@ class DeviceFramer:
 
         from ..utils import tracing
 
+        overflows = []
+        counts = None
         while i < m:
             j = min(i + self.batch_cap, m)
             cnt = j - i
@@ -348,16 +350,19 @@ class DeviceFramer:
                     self.running_ts, self.last_filled, self.li_d, self.li_dt,
                     self.win_d, self.win_dt, self.win_filled,
                 )
-            # one d2h round trip for both control outputs
-            with tracing.stage("device_framer.sync_fetch"):
-                counts_h, ovf = jax.device_get((counts, overflow))
-            if bool(ovf):
-                raise OverflowError(
-                    "device framer window overflow (increase `window`; the "
-                    "stream violates the delta_t_max span bound)"
-                )
-            self._counts = np.array(counts_h)  # writable copy
+            overflows.append(overflow)
             i = j
+        # ONE deferred d2h round trip for all control outputs: counts are
+        # cumulative (each step emits the full window-row fill counts), so
+        # only the last batch's matter; dispatches pipeline sync-free
+        with tracing.stage("device_framer.sync_fetch"):
+            counts_h, *ovfs = jax.device_get((counts, *overflows))
+        if any(bool(o) for o in ovfs):
+            raise OverflowError(
+                "device framer window overflow (increase `window`; the "
+                "stream violates the delta_t_max span bound)"
+            )
+        self._counts = np.array(counts_h)  # writable copy
         return self.is_frame_0_filled()
 
     def is_frame_0_filled(self) -> bool:
@@ -449,14 +454,19 @@ class DeviceFramer:
         from ..utils import tracing
 
         with tracing.stage("device_framer.pop_d2h"):
-            # d values fit u8 (0..255 incl. the 255 init) — casting on
-            # device before the fetch cuts the d2h payload 8 -> 5 bytes/px
+            # d values fit u8 (0..255 incl. the 255 init), and dt values
+            # are bounded by delta_t_max — casting on device before the
+            # fetch cuts the d2h payload 8 -> 5 (or 3) bytes/px on a
+            # bandwidth-taxed link
+            dtt_dev = jnp.take(self.win_dt, rows_j, axis=0, mode="clip")
+            if self.delta_t_max < (1 << 16):
+                dtt_dev = dtt_dev.astype(jnp.uint16)
             dd, dtt = jax.device_get(  # ONE d2h round trip
                 (
                     jnp.take(self.win_d, rows_j, axis=0, mode="clip").astype(
                         jnp.uint8
                     ),
-                    jnp.take(self.win_dt, rows_j, axis=0, mode="clip"),
+                    dtt_dev,
                 )
             )
         with tracing.stage("device_framer.recycle"):
