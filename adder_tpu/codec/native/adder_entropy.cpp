@@ -103,18 +103,26 @@ struct Weights {
         *lo = index == 0 ? 0 : prefix_inclusive(index - 1);
     }
     // smallest i with prefix(Some(i)) > v; SIZE_MAX if v in EOF range
-    // (ref: fenwick/mod.rs:81-103)
+    // (ref: fenwick/mod.rs:81-103). Single Fenwick descent — O(log n)
+    // instead of the binary search over prefix queries (O(log^2 n)):
+    // walk power-of-two strides accumulating sums <= v; the landing
+    // position is the count of leading entries whose cumulative is <= v,
+    // i.e. the tree index of the entry containing v.
     size_t symbol(uint64_t v) const {
-        if (v < prefix_inclusive(0)) return SIZE_MAX;
-        size_t low = 0, high = n;
-        while (low + 1 < high) {
-            size_t i = (low + high - 1) / 2;
-            if (prefix_inclusive(i + 1) > v)
-                high = i + 1;
-            else
-                low = i + 1;
+        size_t pos = 0;
+        uint64_t rem = v;
+        size_t mask = 1;
+        while ((mask << 1) < tree.size()) mask <<= 1;
+        for (; mask; mask >>= 1) {
+            const size_t nxt = pos + mask;
+            if (nxt < tree.size() && tree[nxt] <= rem) {
+                rem -= tree[nxt];
+                pos = nxt;
+            }
         }
-        return low;
+        // pos entries (EOF at index 0 included) lie fully below v
+        if (pos == 0) return SIZE_MAX;        // v inside the EOF range
+        return pos >= n + 1 ? n - 1 : pos - 1;
     }
 
     static Weights with_counts(const uint64_t* counts, size_t n_symbols) {
