@@ -337,6 +337,12 @@ class Prophesee:
 
     @staticmethod
     def _events_from_parts(parts) -> EventArray:
+        # resolve deferred fetches (futures from _collect_dvs_oldest's
+        # worker) in submission order
+        parts = [
+            p.result() if hasattr(p, "result") else p for p in parts
+        ]
+        parts = [p for p in parts if p is not None]
         if not parts:
             z = np.zeros(0, np.uint16)
             return EventArray(z, z.copy(), np.zeros(0, np.uint8),
@@ -554,17 +560,33 @@ class Prophesee:
             # rerun from the untouched pre-group state; the carried chain
             # stays valid (cap truncates the event buffer only)
             outs = fn(pending["state_before"], *pending["args"])
-        with tracing.stage("dvs.event_fetch", items=total_i):
-            # ONE d2h round trip (device_get batches a tuple; separate
-            # np.asarray calls pay one RTT each on this link)
-            import jax
+        # The fetch + assembly move to a single worker thread (ordered: one
+        # worker) so the d2h transfer of group k overlaps the host planning
+        # and dispatch of k+1 — device_get releases the GIL for the
+        # link-bound wait, and dispatching from the main thread concurrently
+        # is supported (r04 verdict item 4). Callers resolve the futures in
+        # _events_from_parts.
+        if not hasattr(self, "_fetch_pool"):
+            from concurrent.futures import ThreadPoolExecutor
 
-            pixd_h, tvals_h, counts_h = jax.device_get(
-                (pixd[:total_i], tvals[:total_i], counts)
-            )
-        with tracing.stage("dvs.assemble", items=total_i):
-            ap, at = FR.assemble_resident_events(pixd_h, tvals_h, counts_h)
-            return B.wire_to_events(ap, at, self.plane.width)
+            self._fetch_pool = ThreadPoolExecutor(max_workers=1)
+
+        def fetch_assemble():
+            with tracing.stage("dvs.event_fetch", items=total_i):
+                # ONE d2h round trip (device_get batches a tuple; separate
+                # np.asarray calls pay one RTT each on this link)
+                import jax
+
+                pixd_h, tvals_h, counts_h = jax.device_get(
+                    (pixd[:total_i], tvals[:total_i], counts)
+                )
+            with tracing.stage("dvs.assemble", items=total_i):
+                ap, at = FR.assemble_resident_events(
+                    pixd_h, tvals_h, counts_h
+                )
+                return B.wire_to_events(ap, at, self.plane.width)
+
+        return self._fetch_pool.submit(fetch_assemble)
 
     def _run_lanes_scanned(self, lanes) -> list:
         """All lanes in ONE device dispatch (lax.scan over the lane axis);
