@@ -702,6 +702,7 @@ def _compression_loop():
     the native ingest/transform/entropy stage breakdown."""
     import ctypes
     import io
+    import os
 
     from adder_tpu.codec.compressed import _get_lib
     from adder_tpu.codec.decoder import Decoder
@@ -760,6 +761,33 @@ def _compression_loop():
             len(back) / dec_dt / 1e6,
             len(data) / raw_bytes,
         )
+
+    # ADU worker-pool scaling (stream.rs:264-319 spawns per-ADU threads):
+    # only measurable where a second core exists — on 1-core hosts the
+    # pool is bypassed (see CompressedOutput) and this stays absent
+    if (os.cpu_count() or 1) > 1:
+
+        def timed_encode(workers: str) -> float:
+            os.environ["ADDER_TPU_ADU_WORKERS"] = workers
+            try:
+                best = 1e9
+                for _ in range(2):
+                    buf = io.BytesIO()
+                    t0 = time.perf_counter()
+                    enc = Encoder.new_compressed(
+                        meta, buf, EncoderOptions.default(meta.plane),
+                        entropy="rans",
+                    )
+                    enc.ingest_event_array(ev)
+                    enc.close_writer()
+                    best = min(best, time.perf_counter() - t0)
+                return len(ev) / best / 1e6
+            finally:
+                os.environ.pop("ADDER_TPU_ADU_WORKERS", None)
+
+        one = timed_encode("0")
+        pooled = timed_encode(str(min(4, os.cpu_count())))
+        out["pool_scaling"] = (one, pooled, pooled / max(one, 1e-9))
     return out
 
 
@@ -982,11 +1010,22 @@ def main():
         _mark("framer")
         try:
             comp = _compression_loop()
+            scaling = comp.pop("pool_scaling", None)
             for name, (enc_r, dec_r, ratio) in comp.items():
                 tag = "addec" if name == "cabac" else "addrn"
                 _emit(f"compressed_{tag}_encode", enc_r, "Mev/s")
                 _emit(f"compressed_{tag}_decode", dec_r, "Mev/s")
                 _emit(f"compressed_{tag}_ratio_vs_raw", ratio, "x")
+            if scaling is not None:
+                _emit("compressed_adu_pool_speedup", scaling[2], "x")
+                import os as _osmod
+
+                print(
+                    f"# ADU pool scaling: inline {scaling[0]:.2f} -> "
+                    f"pooled {scaling[1]:.2f} Mev/s on "
+                    f"{_osmod.cpu_count()} cores",
+                    file=sys.stderr,
+                )
         except Exception as e:
             print(f"# compression bench failed: {e}", file=sys.stderr)
         _mark("compression")
