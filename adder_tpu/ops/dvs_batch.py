@@ -213,6 +213,13 @@ class DvsCompact(NamedTuple):
     tick_fv: np.ndarray  # (E,) int32
     tick_int: np.ndarray  # (E,) float32
     tick_time: np.ndarray  # (E,) float32
+    # factored gap fields for the 8-byte wire carrier
+    # (fused_resident.pack_dvs_plan8): gap_int == f32(gap_val) * f32(gap_n)
+    # exactly, and gap_time == f32(gap_n * ref) exactly — the device
+    # reconstructs both from a dictionary index over gap_val/tick_int
+    # plus the integer gap_n, so neither f32 needs to travel per event.
+    gap_val: np.ndarray  # (E,) float32 held value (post mid-clamp)
+    gap_n: np.ndarray  # (E,) int64 gap tick count (t - last_t - 1)
 
     @property
     def n_lanes(self) -> int:
@@ -319,18 +326,25 @@ def plan_dvs_batch_compact_np(
         last_t[i] = np.where(keep, t, lt).astype(last_t.dtype)
 
         act = gap_on | tick_on
+        # gap intensity is DEFINED as an f32 product (see DvsCompact):
+        # identical roundings in the native planner and the device-side
+        # 8-byte carrier reconstruction
+        lv32 = last_val.astype(np.float32)
+        gn32 = gap_n.astype(np.float32)
         parts.append(
             (
                 i[act].astype(np.int32),
                 np.full(int(act.sum()), k, np.int32),
                 gap_on[act],
                 last_val[act].astype(np.int64).astype(np.int32),
-                (last_val * gap_n)[act].astype(np.float32),
+                (lv32 * gn32)[act],
                 (gap_n * ref)[act].astype(np.float32),
                 tick_on[act],
                 new_val_c[act].astype(np.int64).astype(np.int32),
                 new_val_c[act].astype(np.float32),
                 np.full(int(act.sum()), float(ref), np.float32),
+                lv32[act],
+                gap_n[act].astype(np.int64),
             )
         )
     if not parts:
@@ -340,9 +354,10 @@ def plan_dvs_batch_compact_np(
             np.zeros(0, np.float32), np.zeros(0, np.float32),
             np.zeros(0, bool), np.zeros(0, np.int32),
             np.zeros(0, np.float32), np.zeros(0, np.float32),
+            np.zeros(0, np.float32), np.zeros(0, np.int64),
         )
     return DvsCompact(
-        *(np.concatenate([p[j] for p in parts]) for j in range(10))
+        *(np.concatenate([p[j] for p in parts]) for j in range(12))
     )
 
 

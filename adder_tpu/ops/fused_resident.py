@@ -1207,6 +1207,135 @@ def make_dvs_chunk_resident_packed(
     return jax.jit(chunk_fn)
 
 
+DICT_CAP = 64  # shared value dictionary capacity of the 8-byte carrier
+
+
+@functools.lru_cache(maxsize=32)
+def make_dvs_chunk_resident_packed8(
+    p: ops.TranscodeParams,
+    event_cap: int,
+    T: int,
+    n: int,
+    pb: int,
+    pallas_block: int = 4096,
+    n_real: int = 0,
+    interpret: bool = False,
+    depth: int = 16,
+):
+    """make_dvs_chunk_resident_compact fed by ONE (2, E_pad + 64) i32
+    carrier — 8 bytes/event, vs pack_dvs_plan's 20 — for windows whose
+    gap values fit the factored layout (pack_dvs_plan8). On this
+    harness's ~35 MB/s tunnel the bulk DVS e2e is h2d-transfer-bound, so
+    bytes/event IS the throughput ceiling (r04 verdict item: bulk within
+    3x of the device kernel).
+
+    The carrier ships only (pix, lane, flags, gap_n, two 6-bit dictionary
+    indices); the f32 intensities and times are RECONSTRUCTED in-graph:
+      gap_int  = dict_val[gap_idx] * f32(gap_n)     (f32 multiply)
+      gap_time = f32(gap_n * ref_time)              (exact i32 product)
+      tick_int = dict_val[tick_idx]; fvs from the dictionary's fv row.
+    This is bit-identical to the planner's own fields because gap_int is
+    DEFINED as that f32 product (ops/dvs_batch.DvsCompact) and the i32 ->
+    f32 conversions round the same integers on host and device. The
+    held/new intensity values live on a small lattice (the ln chain steps
+    by +-theta from a fixed mid-clamp reset), so one <=64-entry dictionary
+    covers a whole window; pack_dvs_plan8 returns None when it cannot
+    (caller falls back to the 20-byte carrier). Layout: pack_dvs_plan8."""
+    inner = make_dvs_chunk_resident_compact(
+        p, event_cap, T, n, pallas_block, n_real, interpret, depth
+    )
+
+    def chunk_fn(state, packed):
+        return inner(state, *unpack_dvs_carrier8(packed, pb, p.ref_time))
+
+    return jax.jit(chunk_fn)
+
+
+def unpack_dvs_carrier8(packed, pb: int, ref_time: int):
+    """In-graph unpack of the pack_dvs_plan8 carrier -> the nine
+    make_dvs_chunk_resident_compact field arrays (pix, lane, gap_on,
+    gap_fv, gap_int, gap_time, tick_on, tick_fv, tick_int). Gap-side
+    values of tick-only rows are don't-cares (the plane scatter drops
+    them via gap_on); everything else is bit-identical to the planner's
+    fields (suite-pinned)."""
+    u = jax.lax.bitcast_convert_type(packed, jnp.uint32)
+    E_pad = packed.shape[1] - DICT_CAP
+    r0, r1 = u[0, :E_pad], u[1, :E_pad]
+    dval, dfv = packed[0, E_pad:], packed[1, E_pad:]
+    pix = (r0 & ((1 << pb) - 1)).astype(_i32)
+    lane = ((r0 >> pb) & 63).astype(_i32)
+    gap_on = ((r0 >> (pb + 6)) & 1) != 0
+    tick_on = ((r0 >> (pb + 7)) & 1) != 0
+    gn = ((r0 >> (pb + 8)).astype(_i32) << 20) | (
+        r1 & 0xFFFFF
+    ).astype(_i32)
+    gidx = ((r1 >> 20) & 63).astype(_i32)
+    tidx = ((r1 >> 26) & 63).astype(_i32)
+    gval = jax.lax.bitcast_convert_type(dval[gidx], _f32)
+    gap_int = gval * gn.astype(_f32)
+    gap_time = (gn * jnp.int32(ref_time)).astype(_f32)
+    tick_int = jax.lax.bitcast_convert_type(dval[tidx], _f32)
+    return (
+        pix, lane, gap_on, dfv[gidx], gap_int, gap_time,
+        tick_on, dfv[tidx], tick_int,
+    )
+
+
+def pack_dvs_plan8(plan, E_pad: int, n: int, ref_time: int):
+    """Host side of make_dvs_chunk_resident_packed8: a DvsCompact (or a
+    lane_slice) -> ((2, E_pad + DICT_CAP) i32 carrier, pb), 8 bytes per
+    event — or None when the window doesn't fit the factored layout and
+    the caller must fall back to pack_dvs_plan's 20-byte carrier.
+
+    Bit layout (within u32 rows; pb = bits for a pixel index < n):
+      row0: pix[0:pb] | lane[pb:pb+6] | gap_on[pb+6] | tick_on[pb+7]
+            | gap_n_hi[pb+8:32]
+      row1: gap_n_lo[0:20] | gap_idx[20:26] | tick_idx[26:32]
+      dict appendix (columns E_pad .. E_pad+DICT_CAP):
+            row0 = f32 bits of the value, row1 = its frame value
+    One shared dictionary holds the unique (value, fv) pairs of both the
+    gap side (gap_val/gap_fv) and the tick side (tick_int/tick_fv).
+    Infeasible when: pixel indices need > 24 bits, a lane id >= 64, the
+    dictionary exceeds DICT_CAP, or gap_n overflows its field / the exact
+    i32 gap_n * ref_time product."""
+    E = len(plan.pix)
+    pb = max(1, int(n - 1).bit_length())
+    hi_bits = 24 - pb
+    if hi_bits < 0 or E == 0:
+        return None
+    gn = np.where(plan.gap_on, plan.gap_n, 0).astype(np.int64)
+    if int(plan.lane.max()) >= 64:
+        return None
+    mx = int(gn.max())
+    if mx >= (1 << (20 + hi_bits)) or mx > (2**31 - 1) // max(ref_time, 1):
+        return None
+    gv = plan.gap_val.view(np.int32).astype(np.int64)
+    tv = plan.tick_int.view(np.int32).astype(np.int64)
+    gkey = (gv << 32) | (plan.gap_fv.astype(np.int64) & 0xFFFFFFFF)
+    tkey = (tv << 32) | (plan.tick_fv.astype(np.int64) & 0xFFFFFFFF)
+    keys, inv = np.unique(np.concatenate([gkey, tkey]), return_inverse=True)
+    if len(keys) > DICT_CAP:
+        return None
+    gidx = inv[:E].astype(np.uint32)
+    tidx = inv[E:].astype(np.uint32)
+    row0 = (
+        plan.pix.astype(np.uint32)
+        | (plan.lane.astype(np.uint32) << pb)
+        | (plan.gap_on.astype(np.uint32) << (pb + 6))
+        | (plan.tick_on.astype(np.uint32) << (pb + 7))
+        | ((gn >> 20).astype(np.uint32) << (pb + 8))
+    )
+    row1 = (gn & 0xFFFFF).astype(np.uint32) | (gidx << 20) | (tidx << 26)
+    packed = np.zeros((2, E_pad + DICT_CAP), np.uint32)
+    packed[0, :E] = row0
+    packed[1, :E] = row1
+    packed[0, E_pad : E_pad + len(keys)] = (keys >> 32).astype(np.uint32)
+    packed[1, E_pad : E_pad + len(keys)] = (
+        keys & 0xFFFFFFFF
+    ).astype(np.uint32)
+    return packed.view(np.int32), pb
+
+
 def pack_dvs_plan(plan, E_pad: int) -> np.ndarray:
     """Host side of make_dvs_chunk_resident_packed: a DvsCompact (or a
     lane_slice of one) -> the (5, E_pad) i32 carrier."""

@@ -51,13 +51,15 @@ long adder_plan_dvs(const int64_t* t, const int32_t* pix, const uint8_t* pol,
                     int32_t* out_gap_fv, float* out_gap_int,
                     float* out_gap_time, uint8_t* out_tick_on,
                     int32_t* out_tick_fv, float* out_tick_int,
-                    float* out_tick_time) {
+                    float* out_tick_time, float* out_gap_val,
+                    int64_t* out_gap_n) {
   const double kMidExp = std::exp(kMidLn);
   std::vector<int32_t> occ(n_pixels, 0);  // per-pixel occurrence counter
   // stream-order staging (scattered to lane-major afterwards)
   std::vector<int32_t> s_pix, s_lane, s_gfv, s_tfv;
   std::vector<uint8_t> s_gon, s_ton;
-  std::vector<float> s_gint, s_gtime, s_tint;
+  std::vector<float> s_gint, s_gtime, s_tint, s_gval;
+  std::vector<int64_t> s_gn;
   s_pix.reserve(n_events);
   s_lane.reserve(n_events);
   int32_t max_lane = -1;
@@ -109,8 +111,16 @@ long adder_plan_dvs(const int64_t* t, const int32_t* pix, const uint8_t* pol,
     s_lane.push_back(lane);
     s_gon.push_back(gap_on ? 1 : 0);
     s_gfv.push_back(static_cast<int32_t>(static_cast<int64_t>(last_val)));
-    s_gint.push_back(
-        static_cast<float>(last_val * static_cast<double>(gap_n)));
+    // gap intensity is DEFINED as the f32 product of the f32-rounded held
+    // value and the f32-rounded gap tick count (not f32(f64 product)):
+    // the device-side compact carrier reconstructs it from a dictionary
+    // index + gap_n with the exact same two roundings, so the wire needs
+    // 8 bytes/event instead of 20 (fused_resident.pack_dvs_plan8). The
+    // scalar oracle path and the numpy twin use the identical definition.
+    const float last_val_f = static_cast<float>(last_val);
+    s_gval.push_back(last_val_f);
+    s_gn.push_back(gap_n);
+    s_gint.push_back(last_val_f * static_cast<float>(gap_n));
     s_gtime.push_back(static_cast<float>(
         gap_n * static_cast<int64_t>(ref_time)));
     s_ton.push_back(tick_on ? 1 : 0);
@@ -135,6 +145,8 @@ long adder_plan_dvs(const int64_t* t, const int32_t* pix, const uint8_t* pol,
     out_tick_fv[o] = s_tfv[r];
     out_tick_int[o] = s_tint[r];
     out_tick_time[o] = tick_time;
+    out_gap_val[o] = s_gval[r];
+    out_gap_n[o] = s_gn[r];
   }
   return rows;
 }

@@ -43,7 +43,7 @@ def _get_lib():
                 _i64p, _i32p, _u8p, ctypes.c_long, ctypes.c_long,
                 _u32p, _f64p, _f64p, ctypes.c_double, ctypes.c_double,
                 _i32p, _i32p, _u8p, _i32p, _f32p, _f32p,
-                _u8p, _i32p, _f32p, _f32p,
+                _u8p, _i32p, _f32p, _f32p, _f32p, _i64p,
             ]
             lib.adder_plan_davis.restype = ctypes.c_long
             lib.adder_plan_davis.argtypes = [
@@ -97,6 +97,8 @@ def plan_dvs_native(ts, xs, ys, ps, width, last_t, last_ln, theta, ref,
     out_tfv = np.empty(n_ev, np.int32)
     out_tint = np.empty(n_ev, np.float32)
     out_ttime = np.empty(n_ev, np.float32)
+    out_gval = np.empty(n_ev, np.float32)
+    out_gn = np.empty(n_ev, np.int64)
     rows = lib.adder_plan_dvs(
         t64.ctypes.data_as(_i64p), pix.ctypes.data_as(_i32p),
         pol.ctypes.data_as(_u8p), ctypes.c_long(n_ev),
@@ -109,6 +111,7 @@ def plan_dvs_native(ts, xs, ys, ps, width, last_t, last_ln, theta, ref,
         out_gint.ctypes.data_as(_f32p), out_gtime.ctypes.data_as(_f32p),
         out_ton.ctypes.data_as(_u8p), out_tfv.ctypes.data_as(_i32p),
         out_tint.ctypes.data_as(_f32p), out_ttime.ctypes.data_as(_f32p),
+        out_gval.ctypes.data_as(_f32p), out_gn.ctypes.data_as(_i64p),
     )
     if rows < 0:
         raise ValueError("adder_plan_dvs: pixel index out of range")
@@ -120,7 +123,7 @@ def plan_dvs_native(ts, xs, ys, ps, width, last_t, last_ln, theta, ref,
     return DvsCompact(
         out_pix[:r], out_lane[:r], out_gon[:r].view(bool), out_gfv[:r],
         out_gint[:r], out_gtime[:r], out_ton[:r].view(bool), out_tfv[:r],
-        out_tint[:r], out_ttime[:r],
+        out_tint[:r], out_ttime[:r], out_gval[:r], out_gn[:r],
     )
 
 

@@ -15,6 +15,7 @@ SURVEY P5) is the planned optimization.
 from __future__ import annotations
 
 import io
+import os
 from typing import Optional
 
 import numpy as np
@@ -413,6 +414,7 @@ class Prophesee:
             self._bootstrap_batched()
         batch = self._next_dvs_batch()
         if batch is None:
+            self._flush_staged()
             if self._dvs_inflight:
                 tail: list = []
                 while self._dvs_inflight:
@@ -434,15 +436,29 @@ class Prophesee:
                 # exp(last_ln) memo, owned next to dvs_last_ln_val; only
                 # the planner mutates the ln state in resident mode
                 self._dvs_val_cache = np.full(n, np.nan, np.float64)
-            with tracing.stage("dvs.plan", items=len(ts)):
-                plan = B.plan_dvs_batch_compact(
-                    ts, xs, ys, ps, self.plane.width, n,
-                    self.dvs_last_timestamps, self.dvs_last_ln_val,
-                    self.camera_theta, self.video.ref_time,
-                    val_cache=self._dvs_val_cache,
-                )
-            if len(plan.pix):
-                parts = self._run_lanes_resident(plan)
+            # bulk windows are segmented so the native planning of
+            # segment k+1 overlaps the (link-bound) carrier upload of
+            # segment k — per-pixel chains are batch-boundary-invariant,
+            # so the event streams are identical either way
+            SEG = int(
+                os.environ.get("ADDER_TPU_DVS_SEG_EVENTS", "262144")
+            )
+            nE = len(ts)
+            bounds = (
+                range(0, nE, SEG) if nE > SEG + SEG // 2 else (0,)
+            )
+            for lo in bounds:
+                sl = slice(lo, min(lo + SEG, nE))
+                with tracing.stage("dvs.plan", items=sl.stop - lo):
+                    plan = B.plan_dvs_batch_compact(
+                        ts[sl], xs[sl], ys[sl], ps[sl], self.plane.width,
+                        n, self.dvs_last_timestamps, self.dvs_last_ln_val,
+                        self.camera_theta, self.video.ref_time,
+                        val_cache=self._dvs_val_cache,
+                    )
+                if len(plan.pix):
+                    parts.extend(self._run_lanes_resident(plan))
+            self._flush_staged()
             if self._eof:
                 # drain the pipeline before the EOF flush so the encoder
                 # sees window events in order, then the held intensities
@@ -487,18 +503,35 @@ class Prophesee:
         n_lanes = plan.n_lanes
         for g0 in range(0, n_lanes, GROUP):
             g = plan.lane_slice(g0, g0 + GROUP) if n_lanes > GROUP else plan
-            self._submit_dvs_group(g, min(n_lanes - g0, GROUP))
+            self._stage_dvs_group(g, min(n_lanes - g0, GROUP))
+            # keep ONE group staged: its carrier upload runs on the
+            # worker while the caller plans the next segment/window
+            while len(self._dvs_staged) > 1:
+                self._dispatch_staged_oldest()
             while len(self._dvs_inflight) > 2:
                 part = self._collect_dvs_oldest()
                 if part is not None:
                     parts.append(part)
         return parts
 
-    def _submit_dvs_group(self, g, L: int) -> None:
-        import jax.numpy as jnp
+    def _flush_staged(self) -> None:
+        """Dispatch every staged group (upload futures resolved in stage
+        order). Must run before anything that reads or dispatches from
+        self._dev_state outside the staged chain (EOF flush, bootstrap,
+        end-of-consume) — staged groups have not chained the state yet."""
+        while getattr(self, "_dvs_staged", None):
+            self._dispatch_staged_oldest()
+
+    def _stage_dvs_group(self, g, L: int) -> None:
+        """Phase 1 of a group submission: pack the carrier and hand the
+        h2d upload to a single-worker pool, so the link-bound device_put
+        of group k overlaps the host planning of segment/window k+1 (the
+        planner is native C++ and releases the GIL). Dispatch order =
+        stage order (_dispatch_staged_oldest); the state chain is only
+        advanced at dispatch time."""
+        from concurrent.futures import ThreadPoolExecutor
 
         from ..ops import fused_resident as FR
-        from ..runtime import bound_jit_mappings
 
         ns = self._res_nstate
         # multiple-of-4 lane padding (pow2 ran up to 2x the sub-steps on
@@ -512,25 +545,67 @@ class Prophesee:
         # 2x of real h2d bytes; the sticky max already bounds compiles)
         E_pad = max(1024, -(-E // 8192) * 8192)
         E_pad = self._res_epad = max(E_pad, getattr(self, "_res_epad", 0))
-        with tracing.stage("dvs.upload", items=E):
-            # ONE i32 carrier upload (each device_put is a full RTT on a
-            # high-latency link; see make_dvs_chunk_resident_packed)
-            args = (jnp.asarray(FR.pack_dvs_plan(g, E_pad)),)
+        with tracing.stage("dvs.pack", items=E):
+            # prefer the 8-byte/event factored carrier (the bulk e2e is
+            # h2d-transfer-bound on this harness; bytes/event is the
+            # ceiling) and fall back to the dense 20-byte one when the
+            # window doesn't fit its layout
+            p8 = FR.pack_dvs_plan8(g, E_pad, ns, int(self.video.ref_time))
+            if p8 is not None:
+                packed, pb = p8
+            else:
+                pb = None
+                packed = FR.pack_dvs_plan(g, E_pad)
         active_total = int(g.gap_on.sum() + g.tick_on.sum())
         cap = 1 << max(16, (max(64, active_total * 4) - 1).bit_length())
         cap = self._res_cap = max(cap, getattr(self, "_res_cap", 0))
-        bound_jit_mappings()
-        fn = FR.make_dvs_chunk_resident_packed(
-            self._tp(), cap, T, ns, self._res_block,
-            interpret=self._res_interpret, depth=16,
+        if not hasattr(self, "_upload_pool"):
+            self._upload_pool = ThreadPoolExecutor(max_workers=1)
+        if not hasattr(self, "_dvs_staged"):
+            self._dvs_staged = []
+
+        def upload(arr=packed):
+            import jax.numpy as jnp
+
+            return jnp.asarray(arr)
+
+        self._dvs_staged.append(
+            {"fut": self._upload_pool.submit(upload), "cap": cap,
+             "T": T, "ns": ns, "pb": pb, "E": E}
         )
+
+    def _dispatch_staged_oldest(self) -> None:
+        """Phase 2: resolve the oldest staged upload and dispatch it,
+        chaining the device state (optimistic async chain — the Video
+        submit/collect contract)."""
+        from ..runtime import bound_jit_mappings
+
+        s = self._dvs_staged.pop(0)
+        cap, T, ns, pb = s["cap"], s["T"], s["ns"], s["pb"]
+        bound_jit_mappings()
+        fn = self._res_maker(pb, cap, T, ns)
+        with tracing.stage("dvs.upload", items=s["E"]):
+            args = (s["fut"].result(),)
         st0 = self._dev_state
         with tracing.stage("dvs.dispatch"):
             outs = fn(st0, *args)
-        self._dev_state = outs[0]  # optimistic async chain (Video contract)
+        self._dev_state = outs[0]
         self._dvs_inflight.append(
             {"outs": outs, "state_before": st0, "args": args,
-             "cap": cap, "T": T, "ns": ns}
+             "cap": cap, "T": T, "ns": ns, "pb": pb}
+        )
+
+    def _res_maker(self, pb, cap, T, ns):
+        from ..ops import fused_resident as FR
+
+        if pb is not None:
+            return FR.make_dvs_chunk_resident_packed8(
+                self._tp(), cap, T, ns, pb, self._res_block,
+                interpret=self._res_interpret, depth=16,
+            )
+        return FR.make_dvs_chunk_resident_packed(
+            self._tp(), cap, T, ns, self._res_block,
+            interpret=self._res_interpret, depth=16,
         )
 
     def _collect_dvs_oldest(self):
@@ -553,9 +628,8 @@ class Prophesee:
                 break
             cap = pending["cap"] = cap * 2  # overflow: rerun larger
             self._res_cap = max(cap, self._res_cap)
-            fn = FR.make_dvs_chunk_resident_packed(
-                self._tp(), cap, pending["T"], pending["ns"],
-                self._res_block, interpret=self._res_interpret, depth=16,
+            fn = self._res_maker(
+                pending.get("pb"), cap, pending["T"], pending["ns"]
             )
             # rerun from the untouched pre-group state; the carried chain
             # stays valid (cap truncates the event buffer only)
@@ -692,7 +766,12 @@ class Prophesee:
                 last_val = (np.exp(last_ln) - 1.0) * 255.0
                 last_val, last_ln = mid_clamp_u8(last_val, last_ln)
                 time_spanned = (t - last_t - 1) * ref
-                intensity = last_val * (t - last_t - 1)
+                # f32 product by definition — matches the batched planners
+                # and the device-side 8-byte carrier reconstruction
+                # (ops/dvs_batch.DvsCompact.gap_val docstring)
+                intensity = np.float32(
+                    np.float32(last_val) * np.float32(t - last_t - 1)
+                )
                 self._integrate_px(
                     i, int(last_val), float(intensity), float(time_spanned), events
                 )

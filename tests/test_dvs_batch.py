@@ -539,6 +539,68 @@ def test_native_davis_planner_matches_numpy():
     np.testing.assert_array_equal(ln1, ln2)
 
 
+def test_packed8_carrier_reconstructs_plan_fields():
+    """The 8-byte/event factored carrier (pack_dvs_plan8 +
+    unpack_dvs_carrier8) must reconstruct every device-consumed field
+    bit-identically to the planner's own arrays: gap_int as the defining
+    f32 product, gap_time from the exact i32 gap_n * ref product, fvs and
+    tick_int via the shared dictionary. Gap-side fields of tick-only rows
+    are don't-cares (the plane scatter drops them), so gap comparisons
+    mask on gap_on. Time offsets are large so gap_n exercises the split
+    hi/lo field."""
+    from adder_tpu.ops import dvs_batch as B
+    from adder_tpu.ops import fused_resident as FR
+
+    w, h = 23, 11
+    n = w * h
+    rng = np.random.default_rng(31)
+    n_ev = 700
+    # large spread -> gap_n well past 2^20 (the lo-field boundary)
+    ts = np.sort(rng.integers(5, 9_000_000, n_ev)).astype(np.uint32)
+    xs = rng.integers(0, w, n_ev).astype(np.uint16)
+    ys = rng.integers(0, h, n_ev).astype(np.uint16)
+    ps = rng.integers(0, 2, n_ev).astype(np.uint8)
+    lt = np.full(n, 2, np.uint32)
+    ln = np.full(n, np.log1p(128.0 / 255.0), np.float64)
+    ref = 20
+    plan = B.plan_dvs_batch_compact(ts, xs, ys, ps, w, n, lt, ln, 0.02, ref)
+    E = len(plan.pix)
+    assert E > 0 and int(np.where(plan.gap_on, plan.gap_n, 0).max()) > (1 << 20)
+
+    E_pad = E + 29
+    out = FR.pack_dvs_plan8(plan, E_pad, n, ref)
+    assert out is not None
+    packed, pb = out
+    assert packed.shape == (2, E_pad + FR.DICT_CAP)
+    assert pb == int(n - 1).bit_length()
+
+    import jax.numpy as jnp
+
+    fields = FR.unpack_dvs_carrier8(jnp.asarray(packed), pb, ref)
+    pix, lane, gap_on, gap_fv, gap_int, gap_time, tick_on, tick_fv, \
+        tick_int = (np.asarray(f)[:E] for f in fields)
+    np.testing.assert_array_equal(pix, plan.pix)
+    np.testing.assert_array_equal(lane, plan.lane)
+    np.testing.assert_array_equal(gap_on, plan.gap_on)
+    np.testing.assert_array_equal(tick_on, plan.tick_on)
+    g = plan.gap_on
+    np.testing.assert_array_equal(gap_fv[g], plan.gap_fv[g])
+    np.testing.assert_array_equal(
+        gap_int[g].view(np.int32), plan.gap_int[g].view(np.int32)
+    )
+    np.testing.assert_array_equal(
+        gap_time[g].view(np.int32), plan.gap_time[g].view(np.int32)
+    )
+    t = plan.tick_on
+    np.testing.assert_array_equal(tick_fv[t], plan.tick_fv[t])
+    np.testing.assert_array_equal(
+        tick_int[t].view(np.int32), plan.tick_int[t].view(np.int32)
+    )
+    # padding rows are inert: no gap/tick flags -> scatter drops them
+    pad_on = np.asarray(fields[2])[E:] | np.asarray(fields[6])[E:]
+    assert not pad_on.any()
+
+
 def test_packed_carriers_roundtrip_and_masked_parity():
     """The single-upload i32 carriers (pack_dvs_plan / pack_davis_plan /
     the (4, N) masked-call carrier) must decode in-graph to exactly the
