@@ -16,6 +16,7 @@
 
 #include <cmath>
 #include <cstdint>
+#include <cstring>
 #include <vector>
 
 namespace {
@@ -148,6 +149,154 @@ long adder_plan_dvs(const int64_t* t, const int32_t* pix, const uint8_t* pol,
     out_gap_val[o] = s_gval[r];
     out_gap_n[o] = s_gn[r];
   }
+  return rows;
+}
+
+// Fused Prophesee planner + 8-byte carrier pack (host side of
+// fused_resident.make_dvs_chunk_resident_packed8; numpy twins:
+// plan_dvs_batch_compact_np + pack_dvs_plan8). Identical ln chain to
+// adder_plan_dvs (same libm calls, same clamp/drop rules — bit-exact),
+// but the counting-sort scatter writes the carrier's TWO u32 rows per
+// event instead of the twelve plan arrays (~8 B vs ~50 B of scattered
+// writes per row), and the (value, fv) dictionary is built inline, so
+// the separate numpy pack pass (np.unique over 2E int64 keys) is gone.
+//
+// Row bit layout == pack_dvs_plan8 (the device unpack is shared):
+//   row0: pix[0:pb] | (lane & 63)[pb:pb+6] | gap_on | tick_on | gn_hi
+//   row1: gn_lo[0:20] | gap_idx[20:26] | tick_idx[26:32]
+// lane & 63 == lane - group_base because groups are 64-aligned slices of
+// the lane-major row order (out_lane_off gives the per-lane boundaries).
+// Dictionary order is insertion order (numpy's np.unique sorts keys);
+// the carrier bytes differ but the unpacked fields are identical — the
+// parity tests compare unpacked fields, which is what the kernel sees.
+//
+// Returns rows >= 0, or -2 when the window does not fit the factored
+// layout (gap_n out of field/product range, dictionary > 64 entries) or
+// -3 when a lane exceeds lane_cap. On ANY negative return the chain
+// state (last_t/last_ln/val_cache) HAS been partially advanced — the
+// caller must snapshot and restore before falling back.
+long adder_plan_dvs_pack8(
+    const int64_t* t, const int32_t* pix, const uint8_t* pol,
+    long n_events, long n_pixels, uint32_t* last_t, double* last_ln,
+    double* val_cache, double theta, double ref_time, int32_t pb,
+    int64_t gn_max, long lane_cap,
+    uint32_t* out_row0, uint32_t* out_row1,
+    uint32_t* out_dict0, uint32_t* out_dict1, int32_t* out_ndict,
+    int64_t* out_lane_off, int64_t* out_gap_cnt, int64_t* out_tick_cnt,
+    int32_t* out_nlanes) {
+  const double kMidExp = std::exp(kMidLn);
+  std::vector<int32_t> occ(n_pixels, 0);
+  std::vector<uint32_t> s_r0, s_r1;
+  std::vector<int32_t> s_lane;
+  s_r0.reserve(n_events);
+  s_r1.reserve(n_events);
+  s_lane.reserve(n_events);
+  // insertion-order dictionary of (f32 bits of value) << 32 | u32(fv);
+  // <= 64 entries by construction (the values live on the +-theta ln
+  // lattice), so a linear scan beats a hash table here.
+  uint64_t dict_keys[64];
+  int32_t ndict = 0;
+  int32_t max_lane = -1;
+  for (long e = 0; e < n_events; ++e) {
+    const int32_t i = pix[e];
+    if (i < 0 || i >= n_pixels) return -1;
+    const int32_t lane = occ[i]++;
+    const int64_t te = t[e];
+    const int64_t lt = static_cast<int64_t>(last_t[i]);
+    const bool keep = te >= lt;
+    const bool gap_on = keep && (te > lt + 1);
+    const bool tick_on = keep && (te > lt);
+
+    const double ln = last_ln[i];
+    double exp_ln = val_cache[i];
+    if (std::isnan(exp_ln)) exp_ln = std::exp(ln);
+    double last_val = (exp_ln - 1.0) * 255.0;
+    double ln_c = ln;
+    if (last_val < 0.0 || last_val > 255.0) {
+      last_val = 128.0;
+      ln_c = kMidLn;
+    }
+    const int64_t gap_n = te - lt - 1;
+    const double base_ln = gap_on ? ln_c : ln;
+    const double new_ln =
+        keep ? base_ln + (pol[e] == 0 ? -theta : theta) : ln;
+    const double exp_new = std::exp(new_ln);
+    double new_val = (exp_new - 1.0) * 255.0;
+    double new_ln_c = new_ln;
+    double exp_after = exp_new;
+    if (new_val < 0.0 || new_val > 255.0) {
+      new_val = 128.0;
+      new_ln_c = kMidLn;
+      if (tick_on) exp_after = kMidExp;
+    }
+    const double ln_after = tick_on ? new_ln_c : new_ln;
+    if (keep) {
+      last_ln[i] = ln_after;
+      last_t[i] = static_cast<uint32_t>(te);
+      val_cache[i] = exp_after;
+    }
+    if (!(gap_on || tick_on)) continue;
+    if (lane >= lane_cap) return -3;
+    if (lane > max_lane) max_lane = lane;
+    const int64_t gn = gap_on ? gap_n : 0;
+    if (gn > gn_max) return -2;
+    const float gval_f = static_cast<float>(last_val);
+    const float tval_f = static_cast<float>(new_val);
+    const int32_t gfv = static_cast<int32_t>(static_cast<int64_t>(last_val));
+    const int32_t tfv = static_cast<int32_t>(static_cast<int64_t>(new_val));
+    uint32_t gbits, tbits;
+    std::memcpy(&gbits, &gval_f, 4);
+    std::memcpy(&tbits, &tval_f, 4);
+    const uint64_t gkey =
+        (static_cast<uint64_t>(gbits) << 32) | static_cast<uint32_t>(gfv);
+    const uint64_t tkey =
+        (static_cast<uint64_t>(tbits) << 32) | static_cast<uint32_t>(tfv);
+    int32_t gidx = -1, tidx = -1;
+    for (int32_t k = 0; k < ndict; ++k) {
+      if (dict_keys[k] == gkey) { gidx = k; break; }
+    }
+    if (gidx < 0) {
+      if (ndict >= 64) return -2;
+      dict_keys[ndict] = gkey;
+      gidx = ndict++;
+    }
+    for (int32_t k = 0; k < ndict; ++k) {
+      if (dict_keys[k] == tkey) { tidx = k; break; }
+    }
+    if (tidx < 0) {
+      if (ndict >= 64) return -2;
+      dict_keys[ndict] = tkey;
+      tidx = ndict++;
+    }
+    s_r0.push_back(static_cast<uint32_t>(i) |
+                   (static_cast<uint32_t>(lane & 63) << pb) |
+                   (static_cast<uint32_t>(gap_on ? 1 : 0) << (pb + 6)) |
+                   (static_cast<uint32_t>(tick_on ? 1 : 0) << (pb + 7)) |
+                   (static_cast<uint32_t>(gn >> 20) << (pb + 8)));
+    s_r1.push_back(static_cast<uint32_t>(gn & 0xFFFFF) |
+                   (static_cast<uint32_t>(gidx) << 20) |
+                   (static_cast<uint32_t>(tidx) << 26));
+    s_lane.push_back(lane);
+    out_gap_cnt[lane] += gap_on ? 1 : 0;
+    out_tick_cnt[lane] += tick_on ? 1 : 0;
+  }
+  const long rows = static_cast<long>(s_r0.size());
+  const int32_t n_lanes = max_lane + 1;
+  std::vector<int64_t> off(static_cast<size_t>(n_lanes) + 1, 0);
+  for (long r = 0; r < rows; ++r) off[s_lane[r] + 1]++;
+  for (int32_t k = 0; k < n_lanes; ++k) off[k + 1] += off[k];
+  for (int32_t k = 0; k <= n_lanes; ++k) out_lane_off[k] = off[k];
+  for (long r = 0; r < rows; ++r) {
+    const int64_t o = off[s_lane[r]]++;
+    out_row0[o] = s_r0[r];
+    out_row1[o] = s_r1[r];
+  }
+  for (int32_t k = 0; k < ndict; ++k) {
+    out_dict0[k] = static_cast<uint32_t>(dict_keys[k] >> 32);
+    out_dict1[k] = static_cast<uint32_t>(dict_keys[k] & 0xFFFFFFFFu);
+  }
+  *out_ndict = ndict;
+  *out_nlanes = n_lanes;
   return rows;
 }
 

@@ -409,6 +409,7 @@ class Prophesee:
 
     def _consume_batched(self) -> EventArray:
         from ..ops import dvs_batch as B
+        from ..ops import native_dvs_plan as NP
 
         if self.running_t == 0:
             self._bootstrap_batched()
@@ -449,14 +450,30 @@ class Prophesee:
             )
             for lo in bounds:
                 sl = slice(lo, min(lo + SEG, nE))
+                # fused native plan + 8-byte pack (one C++ pass emits the
+                # carrier rows directly — no 12-array plan materialization,
+                # no numpy np.unique pack); falls back to the classic
+                # plan + pack path when infeasible or the lib is missing
                 with tracing.stage("dvs.plan", items=sl.stop - lo):
-                    plan = B.plan_dvs_batch_compact(
+                    pp = NP.plan_dvs_pack8_native(
                         ts[sl], xs[sl], ys[sl], ps[sl], self.plane.width,
                         n, self.dvs_last_timestamps, self.dvs_last_ln_val,
-                        self.camera_theta, self.video.ref_time,
+                        self.camera_theta, int(self.video.ref_time),
                         val_cache=self._dvs_val_cache,
                     )
-                if len(plan.pix):
+                    plan = None
+                    if pp is None:
+                        plan = B.plan_dvs_batch_compact(
+                            ts[sl], xs[sl], ys[sl], ps[sl],
+                            self.plane.width,
+                            n, self.dvs_last_timestamps,
+                            self.dvs_last_ln_val,
+                            self.camera_theta, self.video.ref_time,
+                            val_cache=self._dvs_val_cache,
+                        )
+                if pp is not None:
+                    parts.extend(self._run_lanes_resident_packed8(pp))
+                elif len(plan.pix):
                     parts.extend(self._run_lanes_resident(plan))
             self._flush_staged()
             if self._eof:
@@ -513,6 +530,69 @@ class Prophesee:
                 if part is not None:
                     parts.append(part)
         return parts
+
+    def _run_lanes_resident_packed8(self, pp) -> list:
+        """_run_lanes_resident over a fused-native PackedDvsPlan: carrier
+        rows are already packed lane-major, so each 64-aligned lane group
+        is a contiguous row slice (no boolean lane_slice, no numpy pack).
+        Event content identical to the classic path (suite-pinned)."""
+        parts: list = []
+        GROUP = 64
+        for g0 in range(0, pp.n_lanes, GROUP):
+            self._stage_dvs_group8(pp, g0, min(pp.n_lanes, g0 + GROUP))
+            while len(self._dvs_staged) > 1:
+                self._dispatch_staged_oldest()
+            while len(self._dvs_inflight) > 2:
+                part = self._collect_dvs_oldest()
+                if part is not None:
+                    parts.append(part)
+        return parts
+
+    def _stage_dvs_group8(self, pp, g0: int, g1: int) -> None:
+        """_stage_dvs_group for a PackedDvsPlan lane group [g0, g1):
+        builds the (2, E_pad + DICT_CAP) carrier by slicing the packed
+        rows (one memcpy) + appending the dictionary, then hands the h2d
+        upload to the single-worker pool exactly like the classic stager."""
+        from concurrent.futures import ThreadPoolExecutor
+
+        from ..ops import fused_resident as FR
+
+        ns = self._res_nstate
+        L = g1 - g0
+        L_pad = max(4, -(-L // 4) * 4)
+        L_pad = self._res_lpad = max(L_pad, getattr(self, "_res_lpad", 0))
+        T = 2 * L_pad
+        r0, r1 = int(pp.lane_off[g0]), int(pp.lane_off[g1])
+        E = r1 - r0
+        E_pad = max(1024, -(-E // 8192) * 8192)
+        E_pad = self._res_epad = max(E_pad, getattr(self, "_res_epad", 0))
+        with tracing.stage("dvs.pack", items=E):
+            packed = np.zeros((2, E_pad + FR.DICT_CAP), np.uint32)
+            packed[0, :E] = pp.row0[r0:r1]
+            packed[1, :E] = pp.row1[r0:r1]
+            nd = len(pp.dict0)
+            packed[0, E_pad : E_pad + nd] = pp.dict0
+            packed[1, E_pad : E_pad + nd] = pp.dict1
+            packed = packed.view(np.int32)
+        active_total = int(
+            pp.gap_cnt[g0:g1].sum() + pp.tick_cnt[g0:g1].sum()
+        )
+        cap = 1 << max(16, (max(64, active_total * 4) - 1).bit_length())
+        cap = self._res_cap = max(cap, getattr(self, "_res_cap", 0))
+        if not hasattr(self, "_upload_pool"):
+            self._upload_pool = ThreadPoolExecutor(max_workers=1)
+        if not hasattr(self, "_dvs_staged"):
+            self._dvs_staged = []
+
+        def upload(arr=packed):
+            import jax.numpy as jnp
+
+            return jnp.asarray(arr)
+
+        self._dvs_staged.append(
+            {"fut": self._upload_pool.submit(upload), "cap": cap,
+             "T": T, "ns": ns, "pb": pp.pb, "E": E}
+        )
 
     def _flush_staged(self) -> None:
         """Dispatch every staged group (upload futures resolved in stage

@@ -763,3 +763,130 @@ def test_masked_interval_const_reps_and_void():
     assert int(n_pv) == 0 and pix_pv.shape == (0,)
     for a, b in zip(jax.tree.leaves(st_pv), jax.tree.leaves(st_a)):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_fused_native_pack8_matches_numpy_twin():
+    """The fused native planner+pack (adder_plan_dvs_pack8) must produce,
+    per 64-aligned lane group, a carrier whose UNPACKED fields are
+    bit-identical to the classic plan_dvs_batch_compact + pack_dvs_plan8
+    pipeline (dictionary insertion order differs from np.unique's sorted
+    order, so carrier bytes legitimately differ — the kernel only sees
+    the unpacked fields), and must advance the chain state (last_t /
+    last_ln / val_cache) identically."""
+    from adder_tpu.ops import dvs_batch as B
+    from adder_tpu.ops import fused_resident as FR
+    from adder_tpu.ops.native_dvs_plan import plan_dvs_pack8_native
+
+    w, h = 23, 11
+    n = w * h
+    rng = np.random.default_rng(7)
+    n_ev = 4000
+    # large spread exercises the split gap_n hi/lo field
+    ts = np.sort(rng.integers(5, 9_000_000, n_ev)).astype(np.uint32)
+    xs = rng.integers(0, w, n_ev).astype(np.uint16)
+    ys = rng.integers(0, h, n_ev).astype(np.uint16)
+    ps = rng.integers(0, 2, n_ev).astype(np.uint8)
+    theta, ref = 0.02, 20
+    lt1 = np.full(n, 2, np.uint32)
+    ln1 = np.full(n, np.log1p(128.0 / 255.0), np.float64)
+    vc1 = np.full(n, np.nan, np.float64)
+    lt2, ln2, vc2 = lt1.copy(), ln1.copy(), vc1.copy()
+
+    pp = plan_dvs_pack8_native(
+        ts, xs, ys, ps, w, n, lt1, ln1, theta, ref, val_cache=vc1
+    )
+    if pp is None:
+        pytest.skip("native planner unavailable (no g++)")
+    plan = B.plan_dvs_batch_compact(
+        ts, xs, ys, ps, w, n, lt2, ln2, theta, ref, val_cache=vc2
+    )
+    # chain state parity (NaN-aware equality for the exp memo)
+    np.testing.assert_array_equal(lt1, lt2)
+    np.testing.assert_array_equal(ln1, ln2)
+    np.testing.assert_array_equal(vc1, vc2)
+    assert pp.n_lanes == plan.n_lanes
+    assert len(pp.row0) == len(plan.pix)
+
+    import jax.numpy as jnp
+
+    for g0 in range(0, pp.n_lanes, 64):
+        g1 = min(pp.n_lanes, g0 + 64)
+        g = plan.lane_slice(g0, g1)
+        r0, r1 = int(pp.lane_off[g0]), int(pp.lane_off[g1])
+        E = r1 - r0
+        assert E == len(g.pix)
+        # per-lane gap/tick active counts drive capacity sizing
+        for k in range(g0, g1):
+            sel = g.lane == (k - g0)
+            assert int(pp.gap_cnt[k]) == int(g.gap_on[sel].sum())
+            assert int(pp.tick_cnt[k]) == int(g.tick_on[sel].sum())
+        E_pad = E + 13
+        out = FR.pack_dvs_plan8(g, E_pad, n, ref)
+        assert out is not None
+        packed_np, pb = out
+        assert pb == pp.pb
+        packed8 = np.zeros((2, E_pad + FR.DICT_CAP), np.uint32)
+        packed8[0, :E] = pp.row0[r0:r1]
+        packed8[1, :E] = pp.row1[r0:r1]
+        nd = len(pp.dict0)
+        packed8[0, E_pad : E_pad + nd] = pp.dict0
+        packed8[1, E_pad : E_pad + nd] = pp.dict1
+        fa = FR.unpack_dvs_carrier8(
+            jnp.asarray(packed8.view(np.int32)), pp.pb, ref
+        )
+        fb = FR.unpack_dvs_carrier8(jnp.asarray(packed_np), pb, ref)
+        fa = [np.asarray(f)[:E] for f in fa]
+        fb = [np.asarray(f)[:E] for f in fb]
+        # native rows are lane-major; the classic slice is event-order.
+        # (pix, lane) is unique per window (lane = occurrence index), so
+        # sorting both by it aligns the rows.
+        oa = np.lexsort((fa[0], fa[1]))
+        ob = np.lexsort((fb[0], fb[1]))
+        names = (
+            "pix", "lane", "gap_on", "gap_fv", "gap_int", "gap_time",
+            "tick_on", "tick_fv", "tick_int",
+        )
+        ga, ta = fa[2][oa], fa[6][oa]
+        np.testing.assert_array_equal(ga, fb[2][ob], err_msg="gap_on")
+        np.testing.assert_array_equal(ta, fb[6][ob], err_msg="tick_on")
+        for idx, name in enumerate(names):
+            if name in ("gap_on", "tick_on"):
+                continue
+            m = ga if name.startswith("gap") else (
+                ta if name.startswith("tick") else slice(None)
+            )
+            va, vb = fa[idx][oa], fb[idx][ob]
+            if va.dtype == np.float32:
+                va, vb = va.view(np.int32), vb.view(np.int32)
+            np.testing.assert_array_equal(va[m], vb[m], err_msg=name)
+
+
+def test_fused_native_pack8_restores_chain_on_infeasible():
+    """When the window doesn't fit the factored layout the wrapper must
+    return None with the chain state (last_t / last_ln / val_cache)
+    EXACTLY as it was, so the classic fallback replays from a pristine
+    chain (the C++ walk advances state mid-stream before bailing)."""
+    from adder_tpu.ops.native_dvs_plan import plan_dvs_pack8_native
+
+    w, h = 5, 4
+    n = w * h
+    n_ev = 300
+    ts = np.arange(10, 10 + 2 * n_ev, 2, dtype=np.uint32)
+    xs = np.full(n_ev, 2, np.uint16)  # one hot pixel -> lane overflow
+    ys = np.full(n_ev, 1, np.uint16)
+    ps = (np.arange(n_ev) % 2).astype(np.uint8)
+    lt = np.full(n, 2, np.uint32)
+    ln = np.full(n, np.log1p(128.0 / 255.0), np.float64)
+    vc = np.full(n, np.nan, np.float64)
+    lt0, ln0, vc0 = lt.copy(), ln.copy(), vc.copy()
+    pp = plan_dvs_pack8_native(
+        ts, xs, ys, ps, w, n, lt, ln, 0.02, 20, val_cache=vc, lane_cap=8
+    )
+    from adder_tpu.ops import native_dvs_plan as NP
+
+    if NP._get_lib() is None:
+        pytest.skip("native planner unavailable (no g++)")
+    assert pp is None
+    np.testing.assert_array_equal(lt, lt0)
+    np.testing.assert_array_equal(ln, ln0)
+    np.testing.assert_array_equal(vc, vc0)
