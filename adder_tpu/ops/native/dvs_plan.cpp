@@ -23,6 +23,63 @@ namespace {
 // log1p(128/255): the mid-gray log intensity the reference resets to on
 // out-of-range values (ref: transcoder/mod.rs mid clamp).
 const double kMidLn = std::log1p(128.0 / 255.0);
+
+// Bit-exact exp() memo: the chain's ln values live on a small lattice
+// (+-theta steps from the mid-clamp reset plus first-touch starts), so a
+// tiny open-addressed table keyed by the f64 BITS of x serves almost
+// every call. A hit returns the cached std::exp(x) of the identical x —
+// bit-exact by construction; a miss computes and replaces (no probing:
+// collisions just evict, correctness is unaffected). exp() is the
+// planner's dominant per-event libm cost.
+struct ExpMemo {
+  static constexpr int kBits = 12;
+  uint64_t keys[1 << kBits];
+  double vals[1 << kBits];
+  ExpMemo() {
+    // sentinel: the bit pattern of a signaling-NaN payload no lattice ln
+    // takes; a (astronomically unlikely) query of this exact pattern
+    // would recompute exp every time, never return a wrong value
+    for (auto& k : keys) k = 0xFFF8DEADBEEFDEADull;
+  }
+  double operator()(double x) {
+    uint64_t b;
+    std::memcpy(&b, &x, 8);
+    const uint32_t h =
+        static_cast<uint32_t>((b * 0x9E3779B97F4A7C15ull) >> (64 - kBits));
+    if (keys[h] == b) return vals[h];
+    const double v = std::exp(x);
+    keys[h] = b;
+    vals[h] = v;
+    return v;
+  }
+};
+
+// Open-addressed (key -> small index) map for the pack8 carrier
+// dictionary: 256 slots for <= 64 entries keeps probe chains short.
+struct DictMap {
+  uint64_t keys[256];
+  int32_t idxs[256];
+  uint64_t order[64];
+  int32_t n = 0;
+  DictMap() {
+    for (auto& k : keys) k = 0xFFF8DEADBEEFDEADull;
+  }
+  // returns the entry index, or -1 when full and the key is new
+  int32_t intern(uint64_t key) {
+    uint32_t h = static_cast<uint32_t>((key * 0x9E3779B97F4A7C15ull) >> 56);
+    for (;;) {
+      if (keys[h] == key) return idxs[h];
+      if (keys[h] == 0xFFF8DEADBEEFDEADull) {
+        if (n >= 64) return -1;
+        keys[h] = key;
+        idxs[h] = n;
+        order[n] = key;
+        return n++;
+      }
+      h = (h + 1) & 255;
+    }
+  }
+};
 }  // namespace
 
 extern "C" {
@@ -55,6 +112,7 @@ long adder_plan_dvs(const int64_t* t, const int32_t* pix, const uint8_t* pol,
                     float* out_tick_time, float* out_gap_val,
                     int64_t* out_gap_n) {
   const double kMidExp = std::exp(kMidLn);
+  ExpMemo exp_memo;
   std::vector<int32_t> occ(n_pixels, 0);  // per-pixel occurrence counter
   // stream-order staging (scattered to lane-major afterwards)
   std::vector<int32_t> s_pix, s_lane, s_gfv, s_tfv;
@@ -76,7 +134,7 @@ long adder_plan_dvs(const int64_t* t, const int32_t* pix, const uint8_t* pol,
 
     const double ln = last_ln[i];
     double exp_ln = val_cache[i];
-    if (std::isnan(exp_ln)) exp_ln = std::exp(ln);
+    if (std::isnan(exp_ln)) exp_ln = exp_memo(ln);
     double last_val = (exp_ln - 1.0) * 255.0;
     double ln_c = ln;
     if (last_val < 0.0 || last_val > 255.0) {  // mid clamp
@@ -89,7 +147,7 @@ long adder_plan_dvs(const int64_t* t, const int32_t* pix, const uint8_t* pol,
     const double base_ln = gap_on ? ln_c : ln;
     const double new_ln =
         keep ? base_ln + (pol[e] == 0 ? -theta : theta) : ln;
-    const double exp_new = std::exp(new_ln);
+    const double exp_new = exp_memo(new_ln);
     double new_val = (exp_new - 1.0) * 255.0;
     double new_ln_c = new_ln;
     double exp_after = exp_new;
@@ -185,17 +243,17 @@ long adder_plan_dvs_pack8(
     int64_t* out_lane_off, int64_t* out_gap_cnt, int64_t* out_tick_cnt,
     int32_t* out_nlanes) {
   const double kMidExp = std::exp(kMidLn);
+  ExpMemo exp_memo;
   std::vector<int32_t> occ(n_pixels, 0);
   std::vector<uint32_t> s_r0, s_r1;
   std::vector<int32_t> s_lane;
   s_r0.reserve(n_events);
   s_r1.reserve(n_events);
   s_lane.reserve(n_events);
-  // insertion-order dictionary of (f32 bits of value) << 32 | u32(fv);
+  // insertion-order dictionary of (f32 bits of value) << 32 | u32(fv),
   // <= 64 entries by construction (the values live on the +-theta ln
-  // lattice), so a linear scan beats a hash table here.
-  uint64_t dict_keys[64];
-  int32_t ndict = 0;
+  // lattice), interned through a 256-slot open-addressed map
+  DictMap dict;
   int32_t max_lane = -1;
   for (long e = 0; e < n_events; ++e) {
     const int32_t i = pix[e];
@@ -209,7 +267,7 @@ long adder_plan_dvs_pack8(
 
     const double ln = last_ln[i];
     double exp_ln = val_cache[i];
-    if (std::isnan(exp_ln)) exp_ln = std::exp(ln);
+    if (std::isnan(exp_ln)) exp_ln = exp_memo(ln);
     double last_val = (exp_ln - 1.0) * 255.0;
     double ln_c = ln;
     if (last_val < 0.0 || last_val > 255.0) {
@@ -220,7 +278,7 @@ long adder_plan_dvs_pack8(
     const double base_ln = gap_on ? ln_c : ln;
     const double new_ln =
         keep ? base_ln + (pol[e] == 0 ? -theta : theta) : ln;
-    const double exp_new = std::exp(new_ln);
+    const double exp_new = exp_memo(new_ln);
     double new_val = (exp_new - 1.0) * 255.0;
     double new_ln_c = new_ln;
     double exp_after = exp_new;
@@ -251,23 +309,10 @@ long adder_plan_dvs_pack8(
         (static_cast<uint64_t>(gbits) << 32) | static_cast<uint32_t>(gfv);
     const uint64_t tkey =
         (static_cast<uint64_t>(tbits) << 32) | static_cast<uint32_t>(tfv);
-    int32_t gidx = -1, tidx = -1;
-    for (int32_t k = 0; k < ndict; ++k) {
-      if (dict_keys[k] == gkey) { gidx = k; break; }
-    }
-    if (gidx < 0) {
-      if (ndict >= 64) return -2;
-      dict_keys[ndict] = gkey;
-      gidx = ndict++;
-    }
-    for (int32_t k = 0; k < ndict; ++k) {
-      if (dict_keys[k] == tkey) { tidx = k; break; }
-    }
-    if (tidx < 0) {
-      if (ndict >= 64) return -2;
-      dict_keys[ndict] = tkey;
-      tidx = ndict++;
-    }
+    const int32_t gidx = dict.intern(gkey);
+    if (gidx < 0) return -2;
+    const int32_t tidx = dict.intern(tkey);
+    if (tidx < 0) return -2;
     s_r0.push_back(static_cast<uint32_t>(i) |
                    (static_cast<uint32_t>(lane & 63) << pb) |
                    (static_cast<uint32_t>(gap_on ? 1 : 0) << (pb + 6)) |
@@ -291,11 +336,11 @@ long adder_plan_dvs_pack8(
     out_row0[o] = s_r0[r];
     out_row1[o] = s_r1[r];
   }
-  for (int32_t k = 0; k < ndict; ++k) {
-    out_dict0[k] = static_cast<uint32_t>(dict_keys[k] >> 32);
-    out_dict1[k] = static_cast<uint32_t>(dict_keys[k] & 0xFFFFFFFFu);
+  for (int32_t k = 0; k < dict.n; ++k) {
+    out_dict0[k] = static_cast<uint32_t>(dict.order[k] >> 32);
+    out_dict1[k] = static_cast<uint32_t>(dict.order[k] & 0xFFFFFFFFu);
   }
-  *out_ndict = ndict;
+  *out_ndict = dict.n;
   *out_nlanes = n_lanes;
   return rows;
 }
@@ -318,6 +363,7 @@ long adder_plan_davis(const int64_t* t, const int32_t* pix,
   const double step_off = std::exp(-dvs_c);
   const double ln_hi = std::log1p(1.0);  // clamp_u8 high-side ln
   const double exp_hi = std::exp(ln_hi);
+  ExpMemo exp_memo;
   std::vector<int32_t> occ(n_pixels, 0);
   std::vector<int32_t> s_pix, s_lane, s_fv8;
   std::vector<float> s_fi, s_dt, s_fv;
@@ -333,14 +379,14 @@ long adder_plan_davis(const int64_t* t, const int32_t* pix,
 
     const double ln = last_ln[i];
     double exp_ln = val_cache[i];
-    if (std::isnan(exp_ln)) exp_ln = std::exp(ln);
+    if (std::isnan(exp_ln)) exp_ln = exp_memo(ln);
     const double last_val = (exp_ln - 1.0) * 255.0;
     const double dt_ticks = static_cast<double>(dt_us) * ticks_per_micro;
     double first_int = last_val / ref_time * dt_ticks;
     if (!(first_int > 0.0)) first_int = 0.0;
 
     double ln2 = ln * (on[e] ? step_on : step_off);
-    const double exp_ln2 = std::exp(ln2);
+    const double exp_ln2 = exp_memo(ln2);
     double fval = (exp_ln2 - 1.0) * 255.0;
     double exp_after = exp_ln2;
     if (fval <= 0.0) {
